@@ -1,0 +1,252 @@
+"""Character-level mention tagger: stacked BiLSTM forward + constrained Viterbi.
+
+Re-expresses the reference's NN dataflow (ref:src/lazrnn.py:~40-230 RDNN,
+ref:src/decoder.py:~5-80 ViterbiDecoder, ref:src/featchar.py featurization;
+reconstructed — SURVEY.md §0) as pure batched NumPy so it runs identically
+
+  (a) inside Spark's ``mapInPandas`` over Arrow record batches, and
+  (b) single-process inside the oracle (charkg reference stand-in).
+
+Design notes (SURVEY.md §2.9):
+  - Weights are deterministic seeded constants per language (no training
+    in scope; north_rule uses the tagger for inference). A hand-crafted
+    feature bias channel is added to the BiLSTM logits so the tagger
+    detects capitalized entity mentions on the fixture corpus — the BiLSTM
+    matmul path is real and dominates compute, which is what the benchmark
+    measures.
+  - Per-row fp32 ops only, no cross-row reductions → bitwise-stable across
+    batch composition and parallelism levels (local[8] vs local[32]).
+  - Viterbi transitions are constrained so a word's chars keep one tag
+    (tag changes only at space boundaries) — the reference's core decoding
+    idea (ref:src/decoder.py:~40-80).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+
+from . import spans as S
+
+CLASSES = ["O", "PER", "LOC", "ORG", "MISC"]
+NC = len(CLASSES)
+VOCAB = 512  # codepoints clamped to [0, 511]; covers en/de/es/nl fixtures
+EMB_DIM = 16
+HIDDEN = 16
+LAYERS = 2
+_LOGIT_SCALE = np.float32(0.05)  # seeded-BiLSTM contribution (deterministic noise)
+_BIAS_ENT = np.float32(4.0)
+_BIAS_O = np.float32(2.0)
+
+
+def _seed_for(lang: str) -> int:
+    h = hashlib.blake2b(f"char-ner-spark:{lang}".encode(), digest_size=4).digest()
+    return int.from_bytes(h, "big")
+
+
+@lru_cache(maxsize=16)
+def model_weights(lang: str) -> dict[str, np.ndarray]:
+    """Deterministic per-language weight set (broadcast to executors).
+
+    Layout mirrors a Lasagne stacked bi-LSTM param list
+    (ref:src/lazrnn.py:~230-270 save/load; here seeded generation)."""
+    rng = np.random.RandomState(_seed_for(lang))
+    w: dict[str, np.ndarray] = {}
+    w["emb"] = rng.normal(0, 0.1, (VOCAB, EMB_DIM)).astype(np.float32)
+    din = EMB_DIM
+    for layer in range(LAYERS):
+        for d in ("fw", "bw"):
+            w[f"Wx{layer}{d}"] = rng.normal(0, 0.08, (din, 4 * HIDDEN)).astype(np.float32)
+            w[f"Wh{layer}{d}"] = rng.normal(0, 0.08, (HIDDEN, 4 * HIDDEN)).astype(np.float32)
+            w[f"b{layer}{d}"] = np.zeros(4 * HIDDEN, dtype=np.float32)
+        din = 2 * HIDDEN
+    w["Wout"] = rng.normal(0, 0.08, (2 * HIDDEN, NC)).astype(np.float32)
+    w["bout"] = np.zeros(NC, dtype=np.float32)
+    # log-space transition prior (ref:src/decoder.py:~5-40 D8): mild penalty
+    # for switching classes, bonus for staying
+    trans = np.full((NC, NC), -0.5, dtype=np.float32)
+    np.fill_diagonal(trans, 0.5)
+    trans[0, :] = 0.0  # O → anything
+    trans[:, 0] = 0.0  # anything → O
+    w["trans"] = trans
+    return w
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x, dtype=np.float32))
+
+
+def _lstm_dir(x: np.ndarray, Wx: np.ndarray, Wh: np.ndarray, b: np.ndarray,
+              reverse: bool) -> np.ndarray:
+    """One LSTM direction over a padded batch. x: [n, T, Din] → [n, T, H]."""
+    n, T, _ = x.shape
+    H = Wh.shape[0]
+    pre_all = x.reshape(n * T, -1) @ Wx  # one big GEMM for the input path
+    pre_all = (pre_all + b).reshape(n, T, 4 * H)
+    h = np.zeros((n, H), dtype=np.float32)
+    c = np.zeros((n, H), dtype=np.float32)
+    out = np.zeros((n, T, H), dtype=np.float32)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    for t in steps:
+        g = pre_all[:, t, :] + h @ Wh
+        i = _sigmoid(g[:, :H])
+        f = _sigmoid(g[:, H : 2 * H])
+        o = _sigmoid(g[:, 2 * H : 3 * H])
+        u = np.tanh(g[:, 3 * H :])
+        c = f * c + i * u
+        h = o * np.tanh(c)
+        out[:, t, :] = h
+    return out
+
+
+def bilstm_logits(char_ids: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
+    """Padded batch of char ids [n, T] → logits [n, T, NC] (fp32).
+
+    Padding positions compute garbage that is masked out downstream; each
+    row's values depend only on that row (pad ids are 0 ⇒ per-row streams
+    identical regardless of batch maxlen... except recurrence sees pad steps
+    AFTER the row's own end only, which never feed back into valid positions
+    for the forward pass; the backward pass does traverse trailing pads, so
+    rows are processed per unique length group to keep bitwise per-row
+    determinism)."""
+    x = w["emb"][char_ids]  # [n, T, D]
+    for layer in range(LAYERS):
+        fw = _lstm_dir(x, w[f"Wx{layer}fw"], w[f"Wh{layer}fw"], w[f"b{layer}fw"], False)
+        bw = _lstm_dir(x, w[f"Wx{layer}bw"], w[f"Wh{layer}bw"], w[f"b{layer}bw"], True)
+        x = np.concatenate([fw, bw], axis=2)
+    n, T, _ = x.shape
+    return (x.reshape(n * T, -1) @ w["Wout"] + w["bout"]).reshape(n, T, NC)
+
+
+# ---------------------------------------------------------------------------
+# featurization (ref:src/featchar.py — char identity + capitalization)
+# ---------------------------------------------------------------------------
+
+
+def encode_chars(text: str) -> np.ndarray:
+    """Char → clamped codepoint id (≡ one-hot row-select, SURVEY §2.2 P2)."""
+    a = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    return np.minimum(a, VOCAB - 1)
+
+
+def _word_class_hash(word: str) -> int:
+    """Deterministic entity-class assignment for a capitalized word (1..4)."""
+    h = hashlib.blake2b(word.lower().encode(), digest_size=2).digest()
+    return 1 + (h[0] % (NC - 1))
+
+
+def feature_bias(text: str) -> np.ndarray:
+    """Hand-crafted emission bias [T, NC]: capitalized multi-char alpha words
+    push toward an entity class; everything else pushes toward O."""
+    T = len(text)
+    bias = np.zeros((T, NC), dtype=np.float32)
+    bias[:, 0] = _BIAS_O
+    punct = "\"'.,;:!?()[]"
+    # capitalized-word cores; consecutive ones form one entity run (the
+    # behavior a trained char-LSTM exhibits on multi-word names)
+    cores: list[tuple[int, int, str, bool]] = []  # (core_start, core_end, core, ends_run)
+    for s, e in S.word_offsets(text):
+        wtext = text[s:e]
+        core = wtext.strip(punct)
+        if len(core) >= 2 and core[0].isupper() and core[1:].islower() and core.isalpha():
+            cs = s + len(wtext) - len(wtext.lstrip(punct))
+            # trailing punctuation inside the token ends the run ("Corp.,")
+            ends = wtext.rstrip()[-1] in punct if wtext else False
+            cores.append((cs, cs + len(core), core, ends))
+        else:
+            cores.append((-1, -1, "", True))
+    run: list[tuple[int, int, str]] = []
+
+    def flush(run: list[tuple[int, int, str]]) -> None:
+        if not run:
+            return
+        cls = _word_class_hash(" ".join(c for _, _, c in run))
+        lo, hi = run[0][0], run[-1][1]
+        bias[lo:hi, 0] = -_BIAS_O
+        bias[lo:hi, cls] = _BIAS_ENT
+
+    for cs, ce, core, ends in cores:
+        if not core:
+            flush(run)
+            run = []
+            continue
+        run.append((cs, ce, core))
+        if ends:
+            flush(run)
+            run = []
+    flush(run)
+    return bias
+
+
+# ---------------------------------------------------------------------------
+# constrained Viterbi (ref:src/decoder.py:~40-80)
+# ---------------------------------------------------------------------------
+
+
+def viterbi_path(logits: np.ndarray, is_space: np.ndarray,
+                 trans: np.ndarray) -> np.ndarray:
+    """Max-plus DP over [T, NC] with the word-consistency constraint:
+    at position t, class may change only if text[t-1] or text[t] is space."""
+    T = logits.shape[0]
+    if T == 0:
+        return np.zeros(0, dtype=np.int64)
+    score = logits[0].astype(np.float32).copy()
+    back = np.zeros((T, NC), dtype=np.int8)
+    back[0] = np.arange(NC)
+    for t in range(1, T):
+        if is_space[t] or is_space[t - 1]:
+            cand = score[:, None] + trans  # [prev, cur]
+            prev = cand.argmax(axis=0)
+            score = cand.max(axis=0) + logits[t]
+        else:
+            prev = np.arange(NC)
+            score = score + logits[t]
+        back[t] = prev
+    path = np.zeros(T, dtype=np.int64)
+    path[T - 1] = int(score.argmax())
+    for t in range(T - 1, 0, -1):
+        path[t - 1] = back[t, path[t]]
+    return path
+
+
+# ---------------------------------------------------------------------------
+# end-to-end per-sentence tagging (fused M1+M2+M4+M5, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+def tag_sentences(texts: list[str], lang: str) -> list[list[tuple[int, int, str, float]]]:
+    """Batch of sentences (one language) → per-sentence mention spans
+    ``(begin, end_exclusive, ner_type, score)`` with char offsets.
+
+    Rows are grouped by exact length so padded positions never exist —
+    keeps per-row results bitwise-identical across any batch composition
+    (determinism requirement, SURVEY §7 risk (a))."""
+    w = model_weights(lang)
+    results: list[list[tuple[int, int, str, float]]] = [[] for _ in texts]
+    by_len: dict[int, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_len.setdefault(len(t), []).append(i)
+    for length, idxs in sorted(by_len.items()):
+        if length == 0:
+            continue
+        ids = np.stack([encode_chars(texts[i]) for i in idxs])
+        logits = bilstm_logits(ids, w) * _LOGIT_SCALE
+        for row, i in enumerate(idxs):
+            text = texts[i]
+            lg = logits[row] + feature_bias(text)
+            is_space = np.fromiter((c.isspace() for c in text), dtype=bool, count=len(text))
+            path = viterbi_path(lg, is_space, w["trans"])
+            classes = [CLASSES[k] for k in path]
+            for b, e, cls in S.char_spans(text, classes):
+                # trim edge punctuation ("Alice." → "Alice")
+                while b < e and text[b] in "\"'.,;:!?()[]":
+                    b += 1
+                while e > b and text[e - 1] in "\"'.,;:!?()[]":
+                    e -= 1
+                if b >= e:
+                    continue
+                margin = float(np.mean(lg[b:e].max(axis=1) - lg[b:e, 0]))
+                results[i].append((b, e, cls, round(margin, 4)))
+    return results
