@@ -1,0 +1,373 @@
+"""The KG-construction pipeline, expressed Spark-first (SURVEY.md §3.2).
+
+Plan shape (hot path, 3 shuffles):
+  pages parquet scan (url,html,lang pruned columns)
+   → mapInPandas extract_text                       [Arrow crossing 1]
+   → repartition(lang, salted url-hash)             [shuffle 1 — lang-pure,
+     sortWithinPartitions(length(text))              skew-defused batches]
+   → mapInPandas tag_mentions                       [Arrow crossing 2]
+   → broadcast-join alias dict (exact) +
+     MinHash-band join (fuzzy, AQE skew-handled)    [shuffle 2 on band keys]
+   → window top-1 candidate per mention
+   → window lead() per sentence → template join     [shuffle 3 on (url,sent)]
+   → broadcast-join canonical map (CC output)
+   → triples
+
+All Python crossings are Arrow-vectorized (no per-row Python —
+BASELINE.json input_hint). The pure semantics live in textops/tagger/
+linking/relations and are shared with the single-process oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import linking, relations, textops
+from .tagger import tag_sentences
+
+# ---------------------------------------------------------------------------
+# stage 1: extract_text (byte-identical per url; SURVEY §2.2 P7)
+# ---------------------------------------------------------------------------
+
+_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        texts = [textops.extract_text(h) for h in pdf["html"]]
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"].values,
+                "text": texts,
+                "sha256": [textops.sha256_text(t) for t in texts],
+                "lang": pdf["lang"].values,
+            }
+        )
+
+
+def extract_text_df(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → (url, text, sha256, lang).
+
+    Only url/html/lang are read — Catalyst prunes the rest out of the scan."""
+    return pages.select("url", "html", "lang").mapInPandas(
+        _extract_batches, schema=_EXTRACT_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 2: tag_mentions (fused M1+M2+M4+M5; SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+_MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("sent_idx", T.IntegerType()),
+        T.StructField("midx", T.IntegerType()),
+        T.StructField("begin", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("ner_type", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("lang", T.StringType()),
+        # text between this mention and the next one in the same sentence —
+        # carries exactly what relation-template matching needs, so triple
+        # assembly later is pure DataFrame ops (no third Python crossing)
+        T.StructField("next_gap", T.StringType()),
+    ]
+)
+
+
+def _tag_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in _MENTION_SCHEMA.fields}
+        for lang, grp in pdf.groupby("lang", sort=True):
+            # split every page of this lang, tag all sentences in one batch
+            # (cross-page batching = big uniform GEMMs, the engine's analog
+            # of the reference's sort-by-length batching)
+            sent_texts: list[str] = []
+            sent_meta: list[tuple[str, int]] = []
+            for url, text in zip(grp["url"], grp["text"]):
+                for si, sent in enumerate(textops.split_sentences(text)):
+                    sent_texts.append(sent)
+                    sent_meta.append((url, si))
+            tagged = tag_sentences(sent_texts, lang)
+            for (url, si), sent, spans in zip(sent_meta, sent_texts, tagged):
+                for mi, (b, e, ner, sc) in enumerate(spans):
+                    nxt = spans[mi + 1] if mi + 1 < len(spans) else None
+                    out["url"].append(url)
+                    out["sent_idx"].append(si)
+                    out["midx"].append(mi)
+                    out["begin"].append(b)
+                    out["end"].append(e)
+                    out["surface"].append(sent[b:e])
+                    out["ner_type"].append(ner)
+                    out["score"].append(sc)
+                    out["lang"].append(lang)
+                    out["next_gap"].append(sent[e : nxt[0]] if nxt else None)
+        yield pd.DataFrame(out)
+
+
+def tag_mentions(extracted: DataFrame, salt: int = 16) -> DataFrame:
+    """(url, text, lang) → mentions. Salted lang repartition keeps batches
+    language-homogeneous (per-lang weight dispatch, north_star) while
+    defusing host/domain/lang skew; length sort minimizes padding waste."""
+    n = extracted.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        extracted.select("url", "text", "lang")
+        .repartition(int(n), F.col("lang"), F.pmod(F.xxhash64("url"), F.lit(salt)))
+        .sortWithinPartitions(F.length("text"))
+        .mapInPandas(_tag_batches, schema=_MENTION_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 3: linking (broadcast exact + MinHash LSH fuzzy; SURVEY §2.3 J3/J4)
+# ---------------------------------------------------------------------------
+
+
+def _norm_col(c):
+    """Spark-native surface normalization — must equal textops.normalize_surface."""
+    x = F.lower(c)
+    x = F.regexp_replace(x, r"[^a-z0-9 ]+", " ")
+    x = F.regexp_replace(x, r" +", " ")
+    return F.trim(x)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _bands_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: textops.minhash_bands(x) if x else [])
+
+
+@F.pandas_udf(T.DoubleType())
+def _fuzzy_score_udf(surface_norm: pd.Series, alias_norm: pd.Series,
+                     prior: pd.Series) -> pd.Series:
+    out = []
+    for s, a, p in zip(surface_norm, alias_norm, prior):
+        j = textops.jaccard(textops.char_ngrams(s), textops.char_ngrams(a))
+        out.append(linking.fuzzy_score(j, float(p)) if j >= linking.JACCARD_MIN else None)
+    return pd.Series(out, dtype="float64")
+
+
+def alias_spark_tables(spark: SparkSession, alias_pdf: pd.DataFrame) -> dict[str, DataFrame]:
+    """Alias dictionary → (exact, bands) Spark tables. Both broadcast-sized
+    by contract (north_rule: 'broadcast alias dictionary')."""
+    norm = alias_pdf["alias"].map(textops.normalize_surface)
+    exact_pdf = pd.DataFrame(
+        {
+            "alias_norm": norm,
+            "entity_id": alias_pdf["entity_id"].astype("int64"),
+            "prior": alias_pdf["prior"].astype("float64"),
+        }
+    ).drop_duplicates()
+    band_rows = []
+    for an, eid, prior in exact_pdf.itertuples(index=False):
+        for bi, bh in enumerate(textops.minhash_bands(an)):
+            band_rows.append((bi, bh, an, eid, prior))
+    bands_pdf = pd.DataFrame(
+        band_rows, columns=["band_idx", "band_hash", "alias_norm", "entity_id", "prior"]
+    )
+    return {
+        "exact": spark.createDataFrame(exact_pdf),
+        "bands": spark.createDataFrame(bands_pdf),
+    }
+
+
+def link_mentions(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> DataFrame:
+    """mentions → + (entity_id, link_score), nulls for unlinkable.
+
+    Exact matches via broadcast hash join; mentions without an exact hit go
+    through the banded-LSH join (AQE skew-join handles hot bands at scale)."""
+    m = mentions.withColumn("surface_norm", _norm_col(F.col("surface")))
+    key = ["url", "sent_idx", "midx"]
+
+    exact = (
+        m.join(F.broadcast(alias_tables["exact"]),
+               m.surface_norm == alias_tables["exact"].alias_norm, "inner")
+        .withColumn("cand_score", F.round(F.lit(1.0) + linking.W_PRIOR * F.col("prior"), 6))
+        .select(*key, "entity_id", "cand_score")
+    )
+    no_exact = m.join(exact.select(*key).distinct(), key, "left_anti")
+    bands = alias_tables["bands"]
+    fuzzy = (
+        no_exact.select(*key, "surface_norm",
+                        F.posexplode(_bands_udf("surface_norm")).alias("band_idx", "band_hash"))
+        .join(F.broadcast(bands), ["band_idx", "band_hash"], "inner")
+        .select(*key, "surface_norm", "alias_norm", "entity_id", "prior")
+        .distinct()
+        .withColumn("cand_score", _fuzzy_score_udf("surface_norm", "alias_norm", "prior"))
+        .filter(F.col("cand_score").isNotNull())
+        .select(*key, "entity_id", "cand_score")
+    )
+    cands = exact.unionByName(fuzzy)
+    w = Window.partitionBy(*key).orderBy(F.desc("cand_score"), F.asc("entity_id"))
+    best = (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(*key, "entity_id", F.col("cand_score").alias("link_score"))
+    )
+    return mentions.join(best, key, "left")
+
+
+# ---------------------------------------------------------------------------
+# stage 4: canonicalization — iterative connected components (SURVEY §2.9 M7)
+# ---------------------------------------------------------------------------
+
+
+def alias_edges(alias_df: DataFrame) -> DataFrame:
+    """Entities sharing a normalized alias → undirected edge list (src<dst).
+    A chain over the sorted member set per alias is enough for CC."""
+    members = (
+        alias_df.withColumn("alias_norm", _norm_col(F.col("alias")))
+        .groupBy("alias_norm")
+        .agg(F.array_sort(F.collect_set("entity_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        members.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ids", 1, F.size("ids") - 1).alias("src"),
+                    F.slice("ids", 2, F.size("ids") - 1).alias("dst"),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").cast("long").alias("src"), F.col("e.dst").cast("long").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Min-label propagation CC: label := min(label, neighbors' labels) until
+    fixpoint. localCheckpoint() per round cuts lineage (SURVEY §4.2).
+    vertices: (id:long); edges: (src:long, dst:long) → (entity_id, canonical_id)."""
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"),
+                                                        F.col("src").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = vertices.select(F.col("id"), F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.id, "inner")
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter("label != old")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("entity_id"), F.col("label").alias("canonical_id"))
+
+
+def canonical_map(alias_df: DataFrame) -> DataFrame:
+    verts = alias_df.select(F.col("entity_id").cast("long").alias("id")).distinct()
+    return connected_components(verts, alias_edges(alias_df))
+
+
+# ---------------------------------------------------------------------------
+# stage 5: triples via per-sentence windows (SURVEY §2.5 W2, §2.9 M8)
+# ---------------------------------------------------------------------------
+
+
+def middles_table(spark: SparkSession) -> DataFrame:
+    rows = [
+        (lang, mid, pred, subj_left)
+        for lang, mids in relations.MIDDLES.items()
+        for mid, (pred, subj_left) in mids.items()
+    ]
+    return spark.createDataFrame(rows, "lang string, next_gap string, pred string, subj_left boolean")
+
+
+def extract_triples(linked: DataFrame, canon: DataFrame, middles: DataFrame) -> DataFrame:
+    """Adjacent linked mentions whose gap matches a template → triples."""
+    w = Window.partitionBy("url", "sent_idx").orderBy("midx")
+    pairs = (
+        linked.withColumn("next_entity", F.lead("entity_id").over(w))
+        .withColumn("next_score", F.lead("link_score").over(w))
+        .filter(F.col("entity_id").isNotNull() & F.col("next_entity").isNotNull())
+        .join(F.broadcast(middles), ["lang", "next_gap"], "inner")
+    )
+    canon_b = F.broadcast(canon)
+    trip = (
+        pairs.withColumn("subj_raw", F.when(F.col("subj_left"), F.col("entity_id"))
+              .otherwise(F.col("next_entity")))
+        .withColumn("obj_raw", F.when(F.col("subj_left"), F.col("next_entity"))
+                    .otherwise(F.col("entity_id")))
+        .withColumn("conf", F.round(F.least("link_score", "next_score"), 6))
+        .join(canon_b.withColumnRenamed("entity_id", "subj_raw")
+              .withColumnRenamed("canonical_id", "subj"), "subj_raw", "left")
+        .join(canon_b.withColumnRenamed("entity_id", "obj_raw")
+              .withColumnRenamed("canonical_id", "obj"), "obj_raw", "left")
+        .select(
+            F.coalesce("subj", "subj_raw").alias("subj"),
+            "pred",
+            F.coalesce("obj", "obj_raw").alias("obj"),
+            "url",
+            "sent_idx",
+            "conf",
+        )
+        .distinct()
+    )
+    return trip
+
+
+def edges_from_triples(triples: DataFrame) -> DataFrame:
+    """Graph materialization: (src, dst, rel, weight=sum conf)."""
+    return (
+        triples.groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"),
+                        F.col("pred").alias("rel"))
+        .agg(F.sum("conf").alias("weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_pdf: pd.DataFrame,
+    salt: int = 16,
+) -> dict[str, DataFrame]:
+    """Full KG pipeline. Returns lazy DataFrames (caller materializes)."""
+    alias_tables = alias_spark_tables(spark, alias_pdf)
+    alias_sdf = spark.createDataFrame(alias_pdf)
+    extracted = extract_text_df(pages)
+    mentions = tag_mentions(extracted, salt=salt)
+    linked = link_mentions(mentions, alias_tables)
+    canon = canonical_map(alias_sdf)
+    triples = extract_triples(linked, canon, middles_table(spark))
+    return {
+        "extracted": extracted,
+        "mentions": mentions,
+        "linked": linked,
+        "canon": canon,
+        "triples": triples,
+        "edges": edges_from_triples(triples),
+    }

@@ -1,0 +1,107 @@
+"""End-to-end Spark pipeline vs oracle (SURVEY.md §5.2 E2E + resume layers)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from char_ner_spark.fixtures import make_alias_table, make_pages
+from char_ner_spark.linking import union_find_canonical
+from char_ner_spark.oracle import run_oracle
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    alias = make_alias_table(80, seed=42)
+    pages = make_pages(40, seed=42, alias_df=alias)
+    return alias, pages
+
+
+@pytest.fixture(scope="module")
+def gold(corpus):
+    alias, pages = corpus
+    return run_oracle(pages, alias)
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark, corpus):
+    from char_ner_spark.pipeline import run_pipeline
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    out = run_pipeline(spark, pages, alias)
+    return {
+        "extracted": out["extracted"].toPandas(),
+        "mentions": out["mentions"].toPandas(),
+        "triples": out["triples"].toPandas(),
+        "canon": out["canon"].toPandas(),
+        "edges": out["edges"].toPandas(),
+    }
+
+
+def test_extract_text_byte_identical_per_url(spark_out, gold):
+    got = dict(zip(spark_out["extracted"].url, spark_out["extracted"].sha256))
+    want = dict(zip(gold["text_hashes"].url, gold["text_hashes"].sha256))
+    assert got == want
+
+
+def test_mentions_match_oracle(spark_out, gold):
+    cols = ["url", "sent_idx", "begin", "end", "surface", "ner_type"]
+    got = set(map(tuple, spark_out["mentions"][cols].itertuples(index=False)))
+    want = set(map(tuple, gold["mentions"][cols].itertuples(index=False)))
+    assert got == want
+
+
+def test_triples_pr_at_least_095(spark_out, gold):
+    key = ["subj", "pred", "obj", "url", "sent_idx"]
+    sp = set(map(tuple, spark_out["triples"][key].itertuples(index=False)))
+    go = set(map(tuple, gold["triples"][key].itertuples(index=False)))
+    assert len(go) > 0
+    tp = len(sp & go)
+    assert tp / len(sp) >= 0.95  # precision
+    assert tp / len(go) >= 0.95  # recall
+
+
+def test_canonical_map_matches_union_find(spark_out, corpus):
+    alias, _ = corpus
+    want = union_find_canonical(alias)
+    got = dict(zip(spark_out["canon"].entity_id, spark_out["canon"].canonical_id))
+    assert got == want
+
+
+def test_edges_graph_shape(spark_out):
+    e = spark_out["edges"]
+    assert set(e.columns) == {"src", "dst", "rel", "weight"}
+    assert (e.weight > 0).all()
+
+
+def test_resume_skips_completed_and_output_identical(spark, corpus):
+    from char_ner_spark import lineage
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        # uninterrupted run
+        rows_full = lineage.run_partitioned(spark, pages, alias, d1, n_parts=3)
+        assert [r["part_id"] for r in rows_full] == [0, 1, 2]
+        # crash after 1 unit, then resume
+        with pytest.raises(RuntimeError, match="injected"):
+            lineage.run_partitioned(spark, pages, alias, d2, n_parts=3, fail_after=1)
+        assert lineage.completed_parts(spark, d2, "triples") == {0}
+        rows_resume = lineage.run_partitioned(spark, pages, alias, d2, n_parts=3)
+        assert [r["part_id"] for r in rows_resume] == [1, 2]  # unit 0 skipped
+        # identical output + checksums across crash/resume vs clean run
+        t1 = lineage.read_triples(spark, d1).toPandas()
+        t2 = lineage.read_triples(spark, d2).toPandas()
+        key = ["subj", "pred", "obj", "url", "sent_idx", "part_id"]
+        assert sorted(map(tuple, t1[key].itertuples(index=False))) == sorted(
+            map(tuple, t2[key].itertuples(index=False))
+        )
+        m1 = {r.part_id: r.checksum for r in lineage.read_manifest(spark, d1).collect()}
+        m2 = {r.part_id: r.checksum for r in lineage.read_manifest(spark, d2).collect()}
+        assert m1 == m2
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
