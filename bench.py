@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline set = the KG pipeline (the north_rule metric is triples/sec) plus
+representative relational/text operators. The KG corpus is generated
+deterministically (FIXTURES.md §1) and cached as parquet, sized by the sf
+of the input dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/root/repo/.bench_cache")
+
+#: pages per sf unit — sf0.1 → 20k pages (~100k sentences)
+PAGES_PER_SF = 200_000
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(spark, sf: float) -> tuple[str, object]:
+    """Deterministic bench corpus (pages parquet + alias table), cached."""
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+
+    n_pages = max(200, int(PAGES_PER_SF * sf))
+    pages_dir = os.path.join(CACHE, f"pages_{n_pages}")
+    alias = make_alias_table(500, seed=42)
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        pdf = make_pages(n_pages, seed=42, alias_df=alias)
+        spark.createDataFrame(pdf).repartition(max(CPUS, 8)).write.mode(
+            "overwrite"
+        ).parquet(pages_dir)
+    return pages_dir, alias
+
+
+def main() -> int:
+    from char_ner_spark.driver_queries import SHARED_SQL, PAIRED_SQL, register_views
+    from char_ner_spark.pipeline import run_pipeline
+    from char_ner_spark.session import build_session
+
+    sf = sf_of(SF_DIR)
+    spark = build_session("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
+    register_views(spark, SF_DIR)
+    times: dict[str, float] = {}
+
+    # --- KG pipeline (flagship) ---
+    pages_dir, alias = ensure_corpus(spark, sf)
+    pages = spark.read.parquet(pages_dir)
+    n_pages = pages.count()
+    t0 = time.time()
+    out = run_pipeline(spark, pages, alias)
+    n_triples = out["triples"].count()
+    kg_sec = time.time() - t0
+    times["kg_pipeline"] = round(kg_sec, 3)
+
+    # --- relational / text headline queries ---
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "window_topk_orders_per_customer",
+        "agg_rollup_returns",
+        "token_count_documents",
+        "ngram_jaccard_pairs",
+        "ann_dot_topk",
+    ]
+    for name in headline:
+        sql = SHARED_SQL.get(name) or PAIRED_SQL[name][0]
+        t0 = time.time()
+        spark.sql(sql).collect()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "kg_pages": n_pages,
+                "kg_triples": n_triples,
+                "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -90,46 +90,78 @@ _MENTION_SCHEMA = T.StructType(
 )
 
 
+def _tag_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch of (url, text, lang) → mention rows."""
+    out: dict[str, list] = {f.name: [] for f in _MENTION_SCHEMA.fields}
+    for lang, grp in pdf.groupby("lang", sort=True):
+        # split every page of this lang, tag all sentences in one batch
+        # (cross-page batching = big uniform GEMMs, the engine's analog
+        # of the reference's sort-by-length batching)
+        sent_texts: list[str] = []
+        sent_meta: list[tuple[str, int]] = []
+        for url, text in zip(grp["url"], grp["text"]):
+            for si, sent in enumerate(textops.split_sentences(text)):
+                sent_texts.append(sent)
+                sent_meta.append((url, si))
+        tagged = tag_sentences(sent_texts, lang)
+        for (url, si), sent, spans in zip(sent_meta, sent_texts, tagged):
+            for mi, (b, e, ner, sc) in enumerate(spans):
+                nxt = spans[mi + 1] if mi + 1 < len(spans) else None
+                out["url"].append(url)
+                out["sent_idx"].append(si)
+                out["midx"].append(mi)
+                out["begin"].append(b)
+                out["end"].append(e)
+                out["surface"].append(sent[b:e])
+                out["ner_type"].append(ner)
+                out["score"].append(sc)
+                out["lang"].append(lang)
+                out["next_gap"].append(sent[e : nxt[0]] if nxt else None)
+    return pd.DataFrame(out)
+
+
 def _tag_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out: dict[str, list] = {f.name: [] for f in _MENTION_SCHEMA.fields}
-        for lang, grp in pdf.groupby("lang", sort=True):
-            # split every page of this lang, tag all sentences in one batch
-            # (cross-page batching = big uniform GEMMs, the engine's analog
-            # of the reference's sort-by-length batching)
-            sent_texts: list[str] = []
-            sent_meta: list[tuple[str, int]] = []
-            for url, text in zip(grp["url"], grp["text"]):
-                for si, sent in enumerate(textops.split_sentences(text)):
-                    sent_texts.append(sent)
-                    sent_meta.append((url, si))
-            tagged = tag_sentences(sent_texts, lang)
-            for (url, si), sent, spans in zip(sent_meta, sent_texts, tagged):
-                for mi, (b, e, ner, sc) in enumerate(spans):
-                    nxt = spans[mi + 1] if mi + 1 < len(spans) else None
-                    out["url"].append(url)
-                    out["sent_idx"].append(si)
-                    out["midx"].append(mi)
-                    out["begin"].append(b)
-                    out["end"].append(e)
-                    out["surface"].append(sent[b:e])
-                    out["ner_type"].append(ner)
-                    out["score"].append(sc)
-                    out["lang"].append(lang)
-                    out["next_gap"].append(sent[e : nxt[0]] if nxt else None)
-        yield pd.DataFrame(out)
+        yield _tag_pdf(pdf)
+
+
+def _tag_pages_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused extract_text + tag: one Python crossing for the mention path."""
+    for pdf in batches:
+        pdf = pd.DataFrame(
+            {
+                "url": pdf["url"].values,
+                "text": [textops.extract_text(h) for h in pdf["html"]],
+                "lang": pdf["lang"].values,
+            }
+        )
+        yield _tag_pdf(pdf)
+
+
+def _salted_repartition(df: DataFrame, salt: int) -> DataFrame:
+    n = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return df.repartition(int(n), F.col("lang"), F.pmod(F.xxhash64("url"), F.lit(salt)))
 
 
 def tag_mentions(extracted: DataFrame, salt: int = 16) -> DataFrame:
     """(url, text, lang) → mentions. Salted lang repartition keeps batches
     language-homogeneous (per-lang weight dispatch, north_star) while
     defusing host/domain/lang skew; length sort minimizes padding waste."""
-    n = extracted.sparkSession.conf.get("spark.sql.shuffle.partitions")
     return (
-        extracted.select("url", "text", "lang")
-        .repartition(int(n), F.col("lang"), F.pmod(F.xxhash64("url"), F.lit(salt)))
+        _salted_repartition(extracted.select("url", "text", "lang"), salt)
         .sortWithinPartitions(F.length("text"))
         .mapInPandas(_tag_batches, schema=_MENTION_SCHEMA)
+    )
+
+
+def tag_pages(pages: DataFrame, salt: int = 16) -> DataFrame:
+    """pages(url, html, lang) → mentions, extracting text inside the same
+    UDF (used by run_pipeline; extract_text_df stays the byte-identity
+    surface). html length is the padding-sort proxy for text length."""
+    return (
+        _salted_repartition(pages.select("url", "html", "lang"), salt)
+        .sortWithinPartitions(F.length("html"))
+        .mapInPandas(_tag_pages_batches, schema=_MENTION_SCHEMA)
     )
 
 
@@ -188,37 +220,44 @@ def alias_spark_tables(spark: SparkSession, alias_pdf: pd.DataFrame) -> dict[str
 def link_mentions(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> DataFrame:
     """mentions → + (entity_id, link_score), nulls for unlinkable.
 
-    Exact matches via broadcast hash join; mentions without an exact hit go
-    through the banded-LSH join (AQE skew-join handles hot bands at scale)."""
+    Scale design: candidates depend only on the normalized surface (the
+    contextual signal enters through the alias prior), and distinct surfaces
+    follow a Zipf law — orders of magnitude fewer than mentions at
+    Common-Crawl scale. So candidate generation + top-1 selection run on
+    ``DISTINCT surface_norm`` (tiny), then a single equi-join (AQE-tuned,
+    skew-salted by construction since hot surfaces are one row here) maps
+    the result back onto the mention stream. Exact matches use a broadcast
+    hash join; the rest go through the banded MinHash-LSH join."""
     m = mentions.withColumn("surface_norm", _norm_col(F.col("surface")))
-    key = ["url", "sent_idx", "midx"]
+    surfaces = m.select("surface_norm").distinct()
 
     exact = (
-        m.join(F.broadcast(alias_tables["exact"]),
-               m.surface_norm == alias_tables["exact"].alias_norm, "inner")
+        surfaces.join(F.broadcast(alias_tables["exact"]),
+                      surfaces.surface_norm == alias_tables["exact"].alias_norm, "inner")
         .withColumn("cand_score", F.round(F.lit(1.0) + linking.W_PRIOR * F.col("prior"), 6))
-        .select(*key, "entity_id", "cand_score")
+        .select("surface_norm", "entity_id", "cand_score")
     )
-    no_exact = m.join(exact.select(*key).distinct(), key, "left_anti")
+    no_exact = surfaces.join(exact.select("surface_norm").distinct(),
+                             "surface_norm", "left_anti")
     bands = alias_tables["bands"]
     fuzzy = (
-        no_exact.select(*key, "surface_norm",
+        no_exact.select("surface_norm",
                         F.posexplode(_bands_udf("surface_norm")).alias("band_idx", "band_hash"))
         .join(F.broadcast(bands), ["band_idx", "band_hash"], "inner")
-        .select(*key, "surface_norm", "alias_norm", "entity_id", "prior")
+        .select("surface_norm", "alias_norm", "entity_id", "prior")
         .distinct()
         .withColumn("cand_score", _fuzzy_score_udf("surface_norm", "alias_norm", "prior"))
         .filter(F.col("cand_score").isNotNull())
-        .select(*key, "entity_id", "cand_score")
+        .select("surface_norm", "entity_id", "cand_score")
     )
     cands = exact.unionByName(fuzzy)
-    w = Window.partitionBy(*key).orderBy(F.desc("cand_score"), F.asc("entity_id"))
+    w = Window.partitionBy("surface_norm").orderBy(F.desc("cand_score"), F.asc("entity_id"))
     best = (
         cands.withColumn("rk", F.row_number().over(w))
         .filter("rk = 1")
-        .select(*key, "entity_id", F.col("cand_score").alias("link_score"))
+        .select("surface_norm", "entity_id", F.col("cand_score").alias("link_score"))
     )
-    return mentions.join(best, key, "left")
+    return m.join(best, "surface_norm", "left").drop("surface_norm")
 
 
 # ---------------------------------------------------------------------------
@@ -254,10 +293,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     """Min-label propagation CC: label := min(label, neighbors' labels) until
     fixpoint. localCheckpoint() per round cuts lineage (SURVEY §4.2).
     vertices: (id:long); edges: (src:long, dst:long) → (entity_id, canonical_id)."""
+    # the CC working set (entity graph) is orders of magnitude smaller than
+    # the page stream — keep it on few partitions so each iteration is a
+    # handful of tasks, not shuffle_partitions-many
+    npart = max(2, int(vertices.sparkSession.conf.get("spark.sql.shuffle.partitions")) // 8)
     sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"),
                                                         F.col("src").alias("dst")))
-    sym = sym.localCheckpoint()
-    labels = vertices.select(F.col("id"), F.col("id").alias("label")).localCheckpoint()
+    sym = sym.repartition(npart, "src").localCheckpoint()
+    labels = (
+        vertices.select(F.col("id"), F.col("id").alias("label"))
+        .repartition(npart, "id")
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.id, "inner")
@@ -356,11 +403,16 @@ def run_pipeline(
     salt: int = 16,
 ) -> dict[str, DataFrame]:
     """Full KG pipeline. Returns lazy DataFrames (caller materializes)."""
+    from pyspark import StorageLevel
+
     alias_tables = alias_spark_tables(spark, alias_pdf)
     alias_sdf = spark.createDataFrame(alias_pdf)
     extracted = extract_text_df(pages)
-    mentions = tag_mentions(extracted, salt=salt)
-    linked = link_mentions(mentions, alias_tables)
+    # the tagger stage feeds multiple consumers (linking join, triple window,
+    # mention sink) — persist so the BiLSTM UDF runs exactly once; same for
+    # the linked stream (triples + downstream sinks)
+    mentions = tag_pages(pages, salt=salt).persist(StorageLevel.MEMORY_AND_DISK)
+    linked = link_mentions(mentions, alias_tables).persist(StorageLevel.MEMORY_AND_DISK)
     canon = canonical_map(alias_sdf)
     triples = extract_triples(linked, canon, middles_table(spark))
     return {

@@ -78,9 +78,14 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x, dtype=np.float32))
 
 
-def _lstm_dir(x: np.ndarray, Wx: np.ndarray, Wh: np.ndarray, b: np.ndarray,
-              reverse: bool) -> np.ndarray:
-    """One LSTM direction over a padded batch. x: [n, T, Din] → [n, T, H]."""
+def _lstm_dir(x: np.ndarray, mask: np.ndarray, Wx: np.ndarray, Wh: np.ndarray,
+              b: np.ndarray, reverse: bool) -> np.ndarray:
+    """One masked LSTM direction. x: [n, T, Din], mask: [n, T] bool → [n, T, H].
+
+    At padded steps the state carries through unchanged (state stays exactly
+    0 until the backward pass reaches a row's valid suffix), so each row's
+    hidden stream is bitwise-identical to processing that row unpadded —
+    batch composition and bucket padding cannot perturb results."""
     n, T, _ = x.shape
     H = Wh.shape[0]
     pre_all = x.reshape(n * T, -1) @ Wx  # one big GEMM for the input path
@@ -89,32 +94,33 @@ def _lstm_dir(x: np.ndarray, Wx: np.ndarray, Wh: np.ndarray, b: np.ndarray,
     c = np.zeros((n, H), dtype=np.float32)
     out = np.zeros((n, T, H), dtype=np.float32)
     steps = range(T - 1, -1, -1) if reverse else range(T)
+    all_valid = bool(mask.all())
     for t in steps:
         g = pre_all[:, t, :] + h @ Wh
-        i = _sigmoid(g[:, :H])
-        f = _sigmoid(g[:, H : 2 * H])
-        o = _sigmoid(g[:, 2 * H : 3 * H])
+        gates = _sigmoid(g[:, : 3 * H])  # i|f|o fused in one vectorized op
+        i, f, o = gates[:, :H], gates[:, H : 2 * H], gates[:, 2 * H :]
         u = np.tanh(g[:, 3 * H :])
-        c = f * c + i * u
-        h = o * np.tanh(c)
+        c_new = f * c + i * u
+        h_new = o * np.tanh(c_new)
+        if all_valid or mask[:, t].all():
+            c, h = c_new, h_new
+        else:
+            m = mask[:, t : t + 1]
+            c = np.where(m, c_new, c)
+            h = np.where(m, h_new, h)
         out[:, t, :] = h
     return out
 
 
-def bilstm_logits(char_ids: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
-    """Padded batch of char ids [n, T] → logits [n, T, NC] (fp32).
-
-    Padding positions compute garbage that is masked out downstream; each
-    row's values depend only on that row (pad ids are 0 ⇒ per-row streams
-    identical regardless of batch maxlen... except recurrence sees pad steps
-    AFTER the row's own end only, which never feed back into valid positions
-    for the forward pass; the backward pass does traverse trailing pads, so
-    rows are processed per unique length group to keep bitwise per-row
-    determinism)."""
+def bilstm_logits(char_ids: np.ndarray, w: dict[str, np.ndarray],
+                  mask: np.ndarray | None = None) -> np.ndarray:
+    """Padded batch of char ids [n, T] (+ validity mask) → logits [n, T, NC]."""
+    if mask is None:
+        mask = np.ones(char_ids.shape, dtype=bool)
     x = w["emb"][char_ids]  # [n, T, D]
     for layer in range(LAYERS):
-        fw = _lstm_dir(x, w[f"Wx{layer}fw"], w[f"Wh{layer}fw"], w[f"b{layer}fw"], False)
-        bw = _lstm_dir(x, w[f"Wx{layer}bw"], w[f"Wh{layer}bw"], w[f"b{layer}bw"], True)
+        fw = _lstm_dir(x, mask, w[f"Wx{layer}fw"], w[f"Wh{layer}fw"], w[f"b{layer}fw"], False)
+        bw = _lstm_dir(x, mask, w[f"Wx{layer}bw"], w[f"Wh{layer}bw"], w[f"b{layer}bw"], True)
         x = np.concatenate([fw, bw], axis=2)
     n, T, _ = x.shape
     return (x.reshape(n * T, -1) @ w["Wout"] + w["bout"]).reshape(n, T, NC)
@@ -211,6 +217,34 @@ def viterbi_path(logits: np.ndarray, is_space: np.ndarray,
     return path
 
 
+def viterbi_batch(logits: np.ndarray, boundary: np.ndarray,
+                  trans: np.ndarray) -> np.ndarray:
+    """Vectorized max-plus DP over a bucket: logits [n, T, NC] (pad steps
+    zeroed), boundary [n, T] (True where a class change is allowed; False at
+    pad steps ⇒ identity transition, so per-row paths equal the unpadded
+    :func:`viterbi_path` result). Returns paths [n, T]."""
+    n, T, C = logits.shape
+    if T == 0:
+        return np.zeros((n, 0), dtype=np.int64)
+    score = logits[:, 0, :].astype(np.float32).copy()
+    back = np.empty((n, T, C), dtype=np.int8)
+    back[:, 0, :] = np.arange(C, dtype=np.int8)
+    idc = np.arange(C, dtype=np.int8)
+    for t in range(1, T):
+        cand = score[:, :, None] + trans[None, :, :]  # [n, prev, cur]
+        prev_full = cand.argmax(axis=1)
+        score_full = np.take_along_axis(cand, prev_full[:, None, :], axis=1)[:, 0, :]
+        bt = boundary[:, t : t + 1]
+        score = np.where(bt, score_full, score) + logits[:, t, :]
+        back[:, t, :] = np.where(bt, prev_full.astype(np.int8), idc[None, :])
+    paths = np.zeros((n, T), dtype=np.int64)
+    paths[:, T - 1] = score.argmax(axis=1)
+    rows = np.arange(n)
+    for t in range(T - 1, 0, -1):
+        paths[:, t - 1] = back[rows, t, paths[:, t]]
+    return paths
+
+
 # ---------------------------------------------------------------------------
 # end-to-end per-sentence tagging (fused M1+M2+M4+M5, SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -225,19 +259,34 @@ def tag_sentences(texts: list[str], lang: str) -> list[list[tuple[int, int, str,
     (determinism requirement, SURVEY §7 risk (a))."""
     w = model_weights(lang)
     results: list[list[tuple[int, int, str, float]]] = [[] for _ in texts]
+    # bucket by length rounded up to 32 — big uniform GEMMs (the reference's
+    # sort-by-length batching, ref:src/exper.py:~150-220), masked recurrence
+    # keeps per-row results bitwise-independent of bucketing
     by_len: dict[int, list[int]] = {}
     for i, t in enumerate(texts):
-        by_len.setdefault(len(t), []).append(i)
-    for length, idxs in sorted(by_len.items()):
-        if length == 0:
-            continue
-        ids = np.stack([encode_chars(texts[i]) for i in idxs])
-        logits = bilstm_logits(ids, w) * _LOGIT_SCALE
+        if t:
+            by_len.setdefault(((len(t) + 31) // 32) * 32, []).append(i)
+    for bucket, idxs in sorted(by_len.items()):
+        n = len(idxs)
+        ids = np.zeros((n, bucket), dtype=np.int64)
+        mask = np.zeros((n, bucket), dtype=bool)
+        boundary = np.zeros((n, bucket), dtype=bool)
         for row, i in enumerate(idxs):
             text = texts[i]
-            lg = logits[row] + feature_bias(text)
-            is_space = np.fromiter((c.isspace() for c in text), dtype=bool, count=len(text))
-            path = viterbi_path(lg, is_space, w["trans"])
+            L = len(text)
+            ids[row, :L] = encode_chars(text)
+            mask[row, :L] = True
+            sp = np.fromiter((c.isspace() for c in text), dtype=bool, count=L)
+            boundary[row, 1:L] = sp[1:] | sp[:-1]
+        lg = bilstm_logits(ids, w, mask) * _LOGIT_SCALE
+        for row, i in enumerate(idxs):
+            L = len(texts[i])
+            lg[row, :L] += feature_bias(texts[i])
+        lg *= mask[:, :, None]  # zero pad steps so DP carries scores through
+        paths = viterbi_batch(lg, boundary, w["trans"])
+        for row, i in enumerate(idxs):
+            text = texts[i]
+            path = paths[row, : len(text)]
             classes = [CLASSES[k] for k in path]
             for b, e, cls in S.char_spans(text, classes):
                 # trim edge punctuation ("Alice." → "Alice")
@@ -247,6 +296,7 @@ def tag_sentences(texts: list[str], lang: str) -> list[list[tuple[int, int, str,
                     e -= 1
                 if b >= e:
                     continue
-                margin = float(np.mean(lg[b:e].max(axis=1) - lg[b:e, 0]))
+                seg = lg[row, b:e]
+                margin = float(np.mean(seg.max(axis=1) - seg[:, 0]))
                 results[i].append((b, e, cls, round(margin, 4)))
     return results
