@@ -79,7 +79,7 @@ def run_partitioned(
 ) -> list[dict]:
     """Run the pipeline per work unit with resume. ``fail_after`` injects a
     crash after that many units (tests). Returns manifest rows written."""
-    from .pipeline import run_pipeline
+    from .pipeline import build_dictionary_state, run_pipeline
 
     os.makedirs(out_dir, exist_ok=True)
     done = completed_parts(spark, out_dir, "triples")
@@ -87,6 +87,7 @@ def run_partitioned(
     staged = pages.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
+    dict_state = build_dictionary_state(spark, alias_pdf)  # unit-invariant
     units_run = 0
     for pid in range(n_parts):
         if pid in done:
@@ -96,7 +97,7 @@ def run_partitioned(
         slice_df = staged.filter(F.col("part_id") == pid).drop("part_id")
         obs = Observation(f"pages_in_{pid}")
         slice_df = slice_df.observe(obs, F.count(F.lit(1)).alias("rows_in"))
-        out = run_pipeline(spark, slice_df, alias_pdf)
+        out = run_pipeline(spark, slice_df, alias_pdf, dict_state=dict_state)
         triples = out["triples"]
         (
             triples.withColumn("part_id", F.lit(pid))

@@ -139,8 +139,13 @@ def _tag_pages_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def _salted_repartition(df: DataFrame, salt: int) -> DataFrame:
+    """Spread pages evenly by url hash — the unbounded salt. This defuses
+    host/domain/lang skew completely (urls are unique), and the tagger UDF
+    groups by lang inside each Arrow batch, so batches stay GEMM-friendly
+    without lang-pure partitions. (A bounded lang×salt key set collides into
+    partitions unevenly — measured stragglers at 32 partitions.)"""
     n = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    return df.repartition(int(n), F.col("lang"), F.pmod(F.xxhash64("url"), F.lit(salt)))
+    return df.repartition(int(n), F.xxhash64("url", F.lit(salt)))
 
 
 def tag_mentions(extracted: DataFrame, salt: int = 16) -> DataFrame:
@@ -184,10 +189,16 @@ def _bands_udf(s: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.DoubleType())
-def _fuzzy_score_udf(surface_norm: pd.Series, alias_norm: pd.Series,
-                     prior: pd.Series) -> pd.Series:
+def _cand_score_udf(surface_norm: pd.Series, alias_norm: pd.Series,
+                    prior: pd.Series) -> pd.Series:
+    """Candidate score: exact normalized match → exact_score (≥1.0, always
+    beats fuzzy ≤1.0, so 'exact wins' needs no separate join path); else
+    trigram-Jaccard fuzzy score, None below threshold."""
     out = []
     for s, a, p in zip(surface_norm, alias_norm, prior):
+        if s == a:
+            out.append(linking.exact_score(float(p)))
+            continue
         j = textops.jaccard(textops.char_ngrams(s), textops.char_ngrams(a))
         out.append(linking.fuzzy_score(j, float(p)) if j >= linking.JACCARD_MIN else None)
     return pd.Series(out, dtype="float64")
@@ -231,26 +242,21 @@ def link_mentions(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> Da
     m = mentions.withColumn("surface_norm", _norm_col(F.col("surface")))
     surfaces = m.select("surface_norm").distinct()
 
-    exact = (
-        surfaces.join(F.broadcast(alias_tables["exact"]),
-                      surfaces.surface_norm == alias_tables["exact"].alias_norm, "inner")
-        .withColumn("cand_score", F.round(F.lit(1.0) + linking.W_PRIOR * F.col("prior"), 6))
-        .select("surface_norm", "entity_id", "cand_score")
-    )
-    no_exact = surfaces.join(exact.select("surface_norm").distinct(),
-                             "surface_norm", "left_anti")
+    # one LSH pass covers exact matches too: equal normalized surfaces have
+    # identical MinHash signatures, so every exact match is a guaranteed
+    # band collision; the scoring UDF detects exactness (score ≥ 1.0 ≥ any
+    # fuzzy score, preserving the oracle's exact-first contract)
     bands = alias_tables["bands"]
-    fuzzy = (
-        no_exact.select("surface_norm",
+    cands = (
+        surfaces.select("surface_norm",
                         F.posexplode(_bands_udf("surface_norm")).alias("band_idx", "band_hash"))
         .join(F.broadcast(bands), ["band_idx", "band_hash"], "inner")
         .select("surface_norm", "alias_norm", "entity_id", "prior")
         .distinct()
-        .withColumn("cand_score", _fuzzy_score_udf("surface_norm", "alias_norm", "prior"))
+        .withColumn("cand_score", _cand_score_udf("surface_norm", "alias_norm", "prior"))
         .filter(F.col("cand_score").isNotNull())
         .select("surface_norm", "entity_id", "cand_score")
     )
-    cands = exact.unionByName(fuzzy)
     w = Window.partitionBy("surface_norm").orderBy(F.desc("cand_score"), F.asc("entity_id"))
     best = (
         cands.withColumn("rk", F.row_number().over(w))
@@ -305,27 +311,28 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         .repartition(npart, "id")
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.id, "inner")
             .groupBy(F.col("dst").alias("id2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        obs = Observation(f"cc_changed_{it}")
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+            labels.withColumnRenamed("label", "old")
+            .join(nbr_min, F.col("id") == F.col("id2"), "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.least(F.col("old"), F.coalesce("nbr_label", F.col("old"))).alias("label"),
+                F.col("old"),
             )
-        ).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter("label != old")
-            .limit(1)
-            .count()
-        )
+            .observe(obs, F.sum((F.col("label") != F.col("old")).cast("long")).alias("n"))
+            .select("id", "label")
+        ).localCheckpoint()  # eager: materializes and fires the observation
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["n"] or 0) == 0:
             break
     return labels.select(F.col("id").alias("entity_id"), F.col("label").alias("canonical_id"))
 
@@ -396,24 +403,49 @@ def edges_from_triples(triples: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def build_dictionary_state(
+    spark: SparkSession, alias_pdf: pd.DataFrame
+) -> dict[str, DataFrame]:
+    """Unit-invariant dictionary-side state: alias join tables + canonical
+    map. Built once and shared across work units / scaling runs (the page
+    stream scales with the corpus; this scales with the dictionary)."""
+    alias_tables = alias_spark_tables(spark, alias_pdf)
+    canon = canonical_map(spark.createDataFrame(alias_pdf))
+    return {**alias_tables, "canon": canon}
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     alias_pdf: pd.DataFrame,
     salt: int = 16,
+    dict_state: dict[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
-    """Full KG pipeline. Returns lazy DataFrames (caller materializes)."""
+    """Full KG pipeline. Returns DataFrames; the tagger/link stages are
+    persisted and (when dict_state is not pre-supplied) the CC stage runs
+    concurrently with the tagger materialization — both are driver-submitted
+    jobs, and local/cluster executors interleave their tasks."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark import StorageLevel
 
-    alias_tables = alias_spark_tables(spark, alias_pdf)
-    alias_sdf = spark.createDataFrame(alias_pdf)
     extracted = extract_text_df(pages)
     # the tagger stage feeds multiple consumers (linking join, triple window,
     # mention sink) — persist so the BiLSTM UDF runs exactly once; same for
     # the linked stream (triples + downstream sinks)
     mentions = tag_pages(pages, salt=salt).persist(StorageLevel.MEMORY_AND_DISK)
-    linked = link_mentions(mentions, alias_tables).persist(StorageLevel.MEMORY_AND_DISK)
-    canon = canonical_map(alias_sdf)
+    if dict_state is None:
+        with ThreadPoolExecutor(2) as pool:
+            f_dict = pool.submit(build_dictionary_state, spark, alias_pdf)
+            f_tag = pool.submit(mentions.count)
+            dict_state = f_dict.result()
+            f_tag.result()
+    alias_tables = {"exact": dict_state["exact"], "bands": dict_state["bands"]}
+    canon = dict_state["canon"]
+    # linked is NOT persisted: its single hot consumer is the triples window,
+    # and recomputation (for the mention/link sinks) restarts from the
+    # persisted mentions, skipping the expensive tagger
+    linked = link_mentions(mentions, alias_tables)
     triples = extract_triples(linked, canon, middles_table(spark))
     return {
         "extracted": extracted,

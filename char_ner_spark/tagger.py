@@ -89,25 +89,42 @@ def _lstm_dir(x: np.ndarray, mask: np.ndarray, Wx: np.ndarray, Wh: np.ndarray,
     n, T, _ = x.shape
     H = Wh.shape[0]
     pre_all = x.reshape(n * T, -1) @ Wx  # one big GEMM for the input path
-    pre_all = (pre_all + b).reshape(n, T, 4 * H)
+    pre_all += b
+    pre_all = pre_all.reshape(n, T, 4 * H)
     h = np.zeros((n, H), dtype=np.float32)
     c = np.zeros((n, H), dtype=np.float32)
-    out = np.zeros((n, T, H), dtype=np.float32)
+    out = np.empty((n, T, H), dtype=np.float32)
+    # preallocated scratch — no per-step allocations (large numpy temporaries
+    # are mmap'd per op; the munmap TLB shootdowns wreck multi-worker scaling)
+    g = np.empty((n, 4 * H), dtype=np.float32)
+    c_new = np.empty((n, H), dtype=np.float32)
+    h_new = np.empty((n, H), dtype=np.float32)
+    tmp = np.empty((n, H), dtype=np.float32)
     steps = range(T - 1, -1, -1) if reverse else range(T)
     all_valid = bool(mask.all())
     for t in steps:
-        g = pre_all[:, t, :] + h @ Wh
-        gates = _sigmoid(g[:, : 3 * H])  # i|f|o fused in one vectorized op
-        i, f, o = gates[:, :H], gates[:, H : 2 * H], gates[:, 2 * H :]
-        u = np.tanh(g[:, 3 * H :])
-        c_new = f * c + i * u
-        h_new = o * np.tanh(c_new)
-        if all_valid or mask[:, t].all():
-            c, h = c_new, h_new
+        np.matmul(h, Wh, out=g)
+        g += pre_all[:, t, :]
+        gates = g[:, : 3 * H]  # i|f|o fused sigmoid, in place
+        np.negative(gates, out=gates)
+        np.exp(gates, out=gates)
+        gates += 1.0
+        np.reciprocal(gates, out=gates)
+        i, f, o = g[:, :H], g[:, H : 2 * H], g[:, 2 * H : 3 * H]
+        u = g[:, 3 * H :]
+        np.tanh(u, out=u)
+        np.multiply(f, c, out=c_new)
+        np.multiply(i, u, out=tmp)
+        c_new += tmp
+        np.tanh(c_new, out=tmp)
+        np.multiply(o, tmp, out=h_new)
+        if all_valid:
+            c, c_new = c_new, c
+            h, h_new = h_new, h
         else:
             m = mask[:, t : t + 1]
-            c = np.where(m, c_new, c)
-            h = np.where(m, h_new, h)
+            np.copyto(c, c_new, where=m)
+            np.copyto(h, h_new, where=m)
         out[:, t, :] = h
     return out
 
