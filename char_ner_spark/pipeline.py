@@ -82,10 +82,13 @@ _MENTION_SCHEMA = T.StructType(
         T.StructField("ner_type", T.StringType()),
         T.StructField("score", T.DoubleType()),
         T.StructField("lang", T.StringType()),
-        # text between this mention and the next one in the same sentence —
-        # carries exactly what relation-template matching needs, so triple
-        # assembly later is pure DataFrame ops (no third Python crossing)
+        # text between this mention and the next one in the same sentence,
+        # plus that mention's surface — carries exactly what relation-template
+        # matching and pair-linking need, so triple assembly is pure
+        # broadcast-join DataFrame ops (no window shuffle, no third Python
+        # crossing)
         T.StructField("next_gap", T.StringType()),
+        T.StructField("next_surface", T.StringType()),
     ]
 )
 
@@ -117,6 +120,7 @@ def _tag_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                 out["score"].append(sc)
                 out["lang"].append(lang)
                 out["next_gap"].append(sent[e : nxt[0]] if nxt else None)
+                out["next_surface"].append(sent[nxt[0] : nxt[1]] if nxt else None)
     return pd.DataFrame(out)
 
 
@@ -239,17 +243,23 @@ def link_mentions(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> Da
     skew-salted by construction since hot surfaces are one row here) maps
     the result back onto the mention stream. Exact matches use a broadcast
     hash join; the rest go through the banded MinHash-LSH join."""
+    best = best_links(mentions.select("surface").distinct(), alias_tables)
     m = mentions.withColumn("surface_norm", _norm_col(F.col("surface")))
-    surfaces = m.select("surface_norm").distinct()
+    return m.join(F.broadcast(best), "surface_norm", "left").drop("surface_norm")
 
-    # one LSH pass covers exact matches too: equal normalized surfaces have
-    # identical MinHash signatures, so every exact match is a guaranteed
-    # band collision; the scoring UDF detects exactness (score ≥ 1.0 ≥ any
-    # fuzzy score, preserving the oracle's exact-first contract)
+
+def best_links(surfaces: DataFrame, alias_tables: dict[str, DataFrame]) -> DataFrame:
+    """DISTINCT surfaces → (surface_norm, entity_id, link_score) winners.
+
+    One LSH pass covers exact matches too: equal normalized surfaces have
+    identical MinHash signatures, so every exact match is a guaranteed
+    band collision; the scoring UDF detects exactness (score ≥ 1.0 ≥ any
+    fuzzy score, preserving the oracle's exact-first contract)."""
     bands = alias_tables["bands"]
+    norm = surfaces.select(_norm_col(F.col("surface")).alias("surface_norm")).distinct()
     cands = (
-        surfaces.select("surface_norm",
-                        F.posexplode(_bands_udf("surface_norm")).alias("band_idx", "band_hash"))
+        norm.select("surface_norm",
+                    F.posexplode(_bands_udf("surface_norm")).alias("band_idx", "band_hash"))
         .join(F.broadcast(bands), ["band_idx", "band_hash"], "inner")
         .select("surface_norm", "alias_norm", "entity_id", "prior")
         .distinct()
@@ -258,12 +268,42 @@ def link_mentions(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> Da
         .select("surface_norm", "entity_id", "cand_score")
     )
     w = Window.partitionBy("surface_norm").orderBy(F.desc("cand_score"), F.asc("entity_id"))
-    best = (
+    return (
         cands.withColumn("rk", F.row_number().over(w))
         .filter("rk = 1")
         .select("surface_norm", "entity_id", F.col("cand_score").alias("link_score"))
     )
-    return m.join(best, "surface_norm", "left").drop("surface_norm")
+
+
+def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> DataFrame:
+    """Link each mention AND its sentence-adjacent successor in one pass:
+    two broadcast joins against the per-surface winner table — no shuffle
+    of the mention stream at all."""
+    best = best_links(
+        mentions.select("surface").union(
+            mentions.select(F.col("next_surface").alias("surface")).filter(
+                F.col("next_surface").isNotNull()
+            )
+        ).distinct(),
+        alias_tables,
+    ).localCheckpoint()  # materialize ONCE — it feeds two broadcast joins,
+    # and broadcasting a plan re-executes it per join otherwise
+    m = (
+        mentions.withColumn("surface_norm", _norm_col(F.col("surface")))
+        .withColumn("next_surface_norm", _norm_col(F.col("next_surface")))
+    )
+    nxt = F.broadcast(
+        best.select(
+            F.col("surface_norm").alias("next_surface_norm"),
+            F.col("entity_id").alias("next_entity"),
+            F.col("link_score").alias("next_score"),
+        )
+    )
+    return (
+        m.join(F.broadcast(best), "surface_norm", "left")
+        .join(nxt, "next_surface_norm", "left")
+        .drop("surface_norm", "next_surface_norm")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -356,13 +396,16 @@ def middles_table(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "lang string, next_gap string, pred string, subj_left boolean")
 
 
-def extract_triples(linked: DataFrame, canon: DataFrame, middles: DataFrame) -> DataFrame:
-    """Adjacent linked mentions whose gap matches a template → triples."""
-    w = Window.partitionBy("url", "sent_idx").orderBy("midx")
+def extract_triples(linked_pairs: DataFrame, canon: DataFrame, middles: DataFrame) -> DataFrame:
+    """Adjacent linked mention pairs whose gap matches a template → triples.
+
+    Input rows already carry (entity_id, next_entity) from :func:`link_pairs`
+    — adjacency was captured by the tagger, so this stage is broadcast joins
+    and a filter only; its single shuffle is the final dedup."""
     pairs = (
-        linked.withColumn("next_entity", F.lead("entity_id").over(w))
-        .withColumn("next_score", F.lead("link_score").over(w))
-        .filter(F.col("entity_id").isNotNull() & F.col("next_entity").isNotNull())
+        linked_pairs.filter(
+            F.col("entity_id").isNotNull() & F.col("next_entity").isNotNull()
+        )
         .join(F.broadcast(middles), ["lang", "next_gap"], "inner")
     )
     canon_b = F.broadcast(canon)
@@ -442,10 +485,9 @@ def run_pipeline(
             f_tag.result()
     alias_tables = {"exact": dict_state["exact"], "bands": dict_state["bands"]}
     canon = dict_state["canon"]
-    # linked is NOT persisted: its single hot consumer is the triples window,
-    # and recomputation (for the mention/link sinks) restarts from the
-    # persisted mentions, skipping the expensive tagger
-    linked = link_mentions(mentions, alias_tables)
+    # linked is NOT persisted: it is two broadcast joins over the persisted
+    # mentions, so recomputation (for the mention/link sinks) is cheap
+    linked = link_pairs(mentions, alias_tables)
     triples = extract_triples(linked, canon, middles_table(spark))
     return {
         "extracted": extracted,
