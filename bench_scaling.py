@@ -93,13 +93,19 @@ def main() -> int:
     pages_dir = ensure_corpus(n_pages)
     zpath = make_zip()
 
+    # interleave scales across repeats so host-capacity drift (shared VM)
+    # hits both configurations alike; keep the best run per scale
+    all_runs: dict[int, list[dict]] = {c: [] for c in SCALES}
+    for _ in range(repeats):
+        for cores in SCALES:
+            r = run_once(cores, pages_dir, zpath)
+            all_runs[cores].append(r)
+            print(f"local[{cores}]: {r}")
     results: dict[int, dict] = {}
     for cores in SCALES:
-        runs = [run_once(cores, pages_dir, zpath) for _ in range(repeats)]
-        best = max(runs, key=lambda r: r["triples_per_sec"])  # least-noise run
-        best["all_runs_sec"] = [r["sec"] for r in runs]
+        best = max(all_runs[cores], key=lambda r: r["triples_per_sec"])
+        best["all_runs_sec"] = [r["sec"] for r in all_runs[cores]]
         results[cores] = best
-        print(f"local[{cores}]: {best}")
 
     lo, hi = SCALES
     eff = (results[hi]["triples_per_sec"] / results[lo]["triples_per_sec"]) / (hi / lo)

@@ -169,6 +169,47 @@ SHARED_SQL: dict[str, str] = {
                CAST(n_chars AS BIGINT) AS n_chars_meta
         FROM documents d
     """,
+    "pivot_status_by_segment": """
+        SELECT c_mktsegment,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "cube_agg_lineitem": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "having_frequent_customers": """
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    "in_subquery_parts": """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+    "union_all_count": """
+        SELECT COUNT(*) AS n FROM (
+            SELECT c_nationkey AS k FROM customer
+            UNION ALL SELECT s_nationkey FROM supplier) t
+    """,
+    "scalar_math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(CEIL(l_discount * 100) AS BIGINT) AS ceil_disc,
+               CAST(FLOOR(l_tax * 100) AS BIGINT) AS floor_tax,
+               CAST(ROUND(SQRT(l_quantity) * 10000) AS BIGINT) AS sqrt_qty_e4,
+               CAST(ROUND(LN(l_extendedprice) * 10000) AS BIGINT) AS ln_price_e4
+        FROM lineitem
+    """,
+    "conditional_case_funcs": """
+        SELECT o_orderkey,
+               COALESCE(NULLIF(o_orderstatus, 'F'), 'FINAL') AS status2,
+               CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'small' END AS size_bucket
+        FROM orders
+    """,
 }
 
 # --------------------------------------------------------------------------
@@ -195,7 +236,36 @@ def _langid_sql(count_expr: Callable[[str], str]) -> str:
     """
 
 
+_SESSIONIZE = """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                         OR {epoch_ts} - {epoch_prev} > 1800 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM g
+"""
+
 PAIRED_SQL: dict[str, tuple[str, str]] = {
+    "sessionize_events": (
+        _SESSIONIZE.format(epoch_ts="unix_timestamp(ts)",
+                           epoch_prev="unix_timestamp(prev_ts)"),
+        _SESSIONIZE.format(epoch_ts="CAST(epoch(ts) AS BIGINT)",
+                           epoch_prev="CAST(epoch(prev_ts) AS BIGINT)"),
+    ),
+    "array_slice_sort": (
+        """SELECT vec_id,
+                  sort_array(slice(embedding, 1, 4)) AS first4_sorted,
+                  CAST(size(embedding) AS BIGINT) AS dim
+           FROM embeddings""",
+        """SELECT vec_id,
+                  list_sort(list_slice(embedding, 1, 4)) AS first4_sorted,
+                  CAST(len(embedding) AS BIGINT) AS dim
+           FROM embeddings""",
+    ),
     "scalar_json_events": (
         """SELECT event_type,
                   SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
@@ -428,8 +498,72 @@ def _fn_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_mentions(extract_text_df(pages))
 
 
+def _fn_pivot_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native pivot() operator, oracle-checked against the manual
+    CASE-WHEN pivot SQL in DuckDB (same result contract)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    return (
+        spark.table("customer")
+        .join(spark.table("orders"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+_PIVOT_DUCK_SQL = SHARED_SQL["pivot_status_by_segment"]
+
+
+def _fn_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — engine-specific sketch, rows-only."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    return spark.table("orders").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+def _fn_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (scale path; rows-only)."""
+    from pyspark.sql import functions as F
+
+    from .similarity import lsh_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, multiprobe=3)
+
+
+def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline on the deterministic media fixture
+    (decode stubbed per sandbox; plumbing real; rows-only)."""
+    from .multimodal import MEDIA_SCHEMA, extract_media_features, make_media_fixture
+
+    register_views(spark, sf_dir)
+    media = spark.createDataFrame(make_media_fixture(96, seed=42), schema=MEDIA_SCHEMA)
+    return extract_media_features(media)
+
+
 SPARK_FN: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "connected_components_graph": (_fn_connected_components, _CC_DUCK_SQL),
+    "pivot_operator_native": (_fn_pivot_operator, _PIVOT_DUCK_SQL),
+    "approx_distinct_counts": (_fn_approx_distinct, None),
+    "ann_lsh_topk": (_fn_ann_lsh_topk, None),
+    "media_features_fixture": (_fn_media_features, None),
     "minhash_dedup_buckets": (_fn_minhash_dedup, None),
     "simhash_documents": (_fn_simhash_documents, None),
     "cosine_topk_embeddings": (_fn_cosine_topk, None),

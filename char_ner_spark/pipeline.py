@@ -489,11 +489,21 @@ def run_pipeline(
     # mentions, so recomputation (for the mention/link sinks) is cheap
     linked = link_pairs(mentions, alias_tables)
     triples = extract_triples(linked, canon, middles_table(spark))
+    ents = (
+        spark.createDataFrame(
+            alias_pdf[["entity_id", "canonical_name", "lang"]].drop_duplicates(
+                "entity_id"
+            )
+        )
+        .join(canon, "entity_id", "left")
+        .select("entity_id", "canonical_id", "canonical_name", "lang")
+    )
     return {
         "extracted": extracted,
         "mentions": mentions,
         "linked": linked,
         "canon": canon,
+        "entities": ents,
         "triples": triples,
         "edges": edges_from_triples(triples),
     }

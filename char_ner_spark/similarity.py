@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+  - ``cosine_topk``: brute-force exact top-k (the small-query baseline) —
+    one broadcast of the query set, one pass over the vectors.
+  - ``lsh_topk``: random-hyperplane LSH buckets + multiprobe (the scale
+    path) — candidate generation is an equi-join on bucket keys, exact
+    cosine only within buckets. At 10^9+ vectors the bucket join shuffles
+    a small fraction of the all-pairs work.
+
+Deterministic: hyperplanes are seeded; ties break by vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_COS = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = "SQRT(" + _COS.format(a="{c}", b="{c}") + ")"
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    return (
+        f"ROUND({_COS.format(a=a, b=b)} / "
+        f"({_NORM.format(c=a)} * {_NORM.format(c=b)}), 6)"
+    )
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k per query. vectors: (vec_id, embedding);
+    queries: (query_id, embedding). Query set is broadcast."""
+    q = queries.select(
+        F.col("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    scored = vectors.crossJoin(F.broadcast(q)).selectExpr(
+        "query_id",
+        "vec_id",
+        _cosine_expr("embedding", "q_embedding") + " AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def hyperplanes(dim: int, bits: int = 6, seed: int = 20160731) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(0, 1, size=(bits, dim)).astype(np.float32)
+
+
+def _bucket_col(planes: np.ndarray):
+    """SQL expression computing the hyperplane-sign bucket of `embedding`."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = "(" + " + ".join(
+            f"CAST(element_at(embedding, {j + 1}) AS DOUBLE) * {float(v)!r}"
+            for j, v in enumerate(p)
+        ) + ")"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(bits)).cast("int")
+
+
+def with_buckets(df: DataFrame, planes: np.ndarray, multiprobe: int = 0) -> DataFrame:
+    """Attach LSH bucket ids; multiprobe=m also emits the m single-bit-flip
+    neighbor buckets (recall knob) via explode."""
+    d = df.withColumn("bucket", _bucket_col(planes))
+    if multiprobe <= 0:
+        return d
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(min(multiprobe, planes.shape[0]))
+        ],
+    )
+    return d.withColumn("bucket", F.explode(probes))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 6,
+    multiprobe: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed approximate top-k: exact cosine within matching buckets only.
+
+    Vectors get their true bucket; queries probe their bucket plus
+    ``multiprobe`` single-bit flips. Returns (query_id, vec_id, cosine, rk).
+    """
+    planes = hyperplanes(dim, bits)
+    v = with_buckets(vectors.select("vec_id", "embedding"), planes)
+    q = with_buckets(
+        queries.select("query_id", F.col("embedding").alias("q_embedding"))
+        .withColumnRenamed("q_embedding", "embedding"),
+        planes,
+        multiprobe=multiprobe,
+    ).withColumnRenamed("embedding", "q_embedding")
+    cand = v.join(q, "bucket").dropDuplicates(["query_id", "vec_id"])
+    scored = cand.selectExpr(
+        "query_id", "vec_id", _cosine_expr("embedding", "q_embedding") + " AS cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def cosine_near_dups(vectors: DataFrame, threshold: float = 0.95,
+                     bits: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ θ),
+    candidate-generated through LSH buckets — the embedding analog of
+    MinHash document dedup."""
+    planes = hyperplanes(vectors.selectExpr("size(embedding) d").first()["d"], bits)
+    b = with_buckets(vectors.select("vec_id", "embedding"), planes)
+    left = b.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    right = b.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    pairs = left.join(right, "bucket").filter("vec_a < vec_b")
+    return (
+        pairs.selectExpr("vec_a", "vec_b", _cosine_expr("ea", "eb") + " AS cosine")
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )

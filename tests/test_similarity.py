@@ -1,0 +1,70 @@
+"""ANN / embedding similarity tests on the driver-provided embeddings table."""
+
+import pytest
+
+from char_ner_spark import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    from pyspark.sql import functions as F
+
+    return emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_cosine_topk_exact(emb, queries):
+    res = SIM.cosine_topk(emb, queries, k=10).toPandas()
+    assert set(res.query_id) == {0, 1, 2, 3, 4}
+    for qid, grp in res.groupby("query_id"):
+        assert list(grp.sort_values("rk").rk) == list(range(1, 11))
+        # self-match is rank 1 with cosine 1.0
+        top = grp[grp.rk == 1].iloc[0]
+        assert top.vec_id == qid and abs(top.cosine - 1.0) < 1e-6
+
+
+def test_lsh_topk_subset_of_exact_semantics(emb, queries):
+    """LSH results = brute-force restricted to the candidate set: every LSH
+    hit must appear in the exact ranking with equal cosine."""
+    exact = SIM.cosine_topk(emb, queries, k=500).toPandas()
+    lsh = SIM.lsh_topk(emb, queries, k=10, multiprobe=3).toPandas()
+    exact_map = {(r.query_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    assert len(lsh) > 0
+    for r in lsh.itertuples():
+        assert (r.query_id, r.vec_id) in exact_map
+        assert abs(exact_map[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+    # self-match always lands in its own bucket → recall@1 = 1.0
+    top1 = lsh[lsh.rk == 1]
+    assert {(r.query_id, r.vec_id) for r in top1.itertuples()} == {
+        (q, q) for q in range(5)
+    }
+
+
+def test_lsh_recall_reported(emb, queries):
+    exact = SIM.cosine_topk(emb, queries, k=10).toPandas()
+    lsh = SIM.lsh_topk(emb, queries, k=10, multiprobe=3).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    l = {(r.query_id, r.vec_id) for r in lsh.itertuples()}
+    recall = len(e & l) / len(e)
+    # random gaussian vectors are the worst case for LSH; the mechanism
+    # (bucketing + multiprobe) still has to beat the bucket base rate
+    assert recall >= 0.2, recall
+
+
+def test_cosine_near_dups_finds_self_duplicates(spark, emb):
+    from pyspark.sql import functions as F
+
+    # plant exact duplicates: vec_id + 10000 clones
+    clones = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    allv = emb.select("vec_id", "embedding").union(clones)
+    dups = SIM.cosine_near_dups(allv, threshold=0.999).toPandas()
+    got = {(r.vec_a, r.vec_b) for r in dups.itertuples()}
+    assert {(0, 10000), (1, 10001), (2, 10002)} <= got
