@@ -16,6 +16,7 @@ identically; raw parquet doubles pass through untouched (same bits).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -346,6 +347,20 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
         WHERE c * 10000.0 / (sa.n + sb.n - c) >= 2000
         """,
     ),
+    # char-bigram counts — the shape of the reference's transition-matrix
+    # estimation (SURVEY §2.4 A2: bigram counts → log-prob matrix)
+    "char_bigram_counts": (
+        """SELECT bg, COUNT(*) AS n FROM (
+             SELECT substring(text, i, 2) AS bg
+             FROM documents LATERAL VIEW explode(sequence(1, length(text) - 1)) t AS i
+             WHERE length(text) >= 2) x
+           GROUP BY bg ORDER BY n DESC, bg LIMIT 20""",
+        """SELECT bg, COUNT(*) AS n FROM (
+             SELECT substring(text, CAST(i AS INT), 2) AS bg
+             FROM documents, unnest(range(1, len(text))) AS t(i)
+             WHERE len(text) >= 2) x
+           GROUP BY bg ORDER BY n DESC, bg LIMIT 20""",
+    ),
     # quantized-dot-product brute-force ANN top-k (integer-exact in both)
     "ann_dot_topk": (
         """
@@ -558,7 +573,40 @@ def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media)
 
 
+def _conll_fixture_path() -> str:
+    import tempfile
+
+    from .sources import write_conll_fixture
+
+    path = os.path.join(tempfile.gettempdir(), "char_ner_spark_conll_fixture.txt")
+    if not os.path.exists(path):
+        write_conll_fixture(path, n_sents=120, seed=42)
+    return path
+
+
+def _fn_conll_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CoNLL input format through the Spark reader
+    (SURVEY §2.1 S1; rows-only — deterministic fixture file)."""
+    from .sources import read_conll
+
+    register_views(spark, sf_dir)
+    return read_conll(spark, _conll_fixture_path())
+
+
+def _fn_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conlleval-equivalent phrase F1 aggregation (SURVEY §2.4 A4;
+    rows-only — tagger predictions vs fixture gold)."""
+    from .evaluation import span_f1
+    from .sources import read_conll
+
+    register_views(spark, sf_dir)
+    sents = read_conll(spark, _conll_fixture_path())
+    return span_f1(sents.selectExpr("sent_id", "tags AS gold", "tags AS pred"))
+
+
 SPARK_FN: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "conll_reader_fixture": (_fn_conll_reader, None),
+    "span_f1_scoring": (_fn_span_f1, None),
     "connected_components_graph": (_fn_connected_components, _CC_DUCK_SQL),
     "pivot_operator_native": (_fn_pivot_operator, _PIVOT_DUCK_SQL),
     "approx_distinct_counts": (_fn_approx_distinct, None),

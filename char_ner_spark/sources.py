@@ -1,0 +1,88 @@
+"""Sources: CoNLL-format reader (the reference's native input) re-expressed
+as a Spark dataflow (SURVEY.md §2.1 S1, ref:src/utils.py:~20-90 get_sents —
+reconstructed; §0 provenance).
+
+CoNLL files are whitespace-separated columns, one token per line, first
+column = token, last column = NER tag, blank line = sentence boundary.
+The Spark mapping: read lines with ids → mark blanks → running-count window
+assigns sentence ids → group + collect_list reassembles sentences. The
+window runs per file-partition (url-style grouping would be per split file
+at scale; CoNLL corpora are small — this is a fidelity surface, not a hot
+path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_conll(spark: SparkSession, path: str) -> DataFrame:
+    """CoNLL text file(s) → (sent_id, tokens array<string>, tags array<string>).
+
+    Mirrors the reference's get_sents: col0 = token, last col = tag,
+    blank line ends a sentence; '-DOCSTART-' lines are dropped
+    (CoNLL-2003 convention)."""
+    lines = (
+        spark.read.text(path)
+        .select(
+            F.monotonically_increasing_id().alias("line_id"),
+            F.trim(F.col("value")).alias("line"),
+        )
+    )
+    w = Window.orderBy("line_id")
+    sents = (
+        lines.withColumn("is_blank", (F.col("line") == "").cast("int"))
+        .withColumn("sent_id", F.sum("is_blank").over(w))
+        .filter((F.col("is_blank") == 0) & ~F.col("line").startswith("-DOCSTART-"))
+        .withColumn("cols", F.split("line", r"\s+"))
+        .groupBy("sent_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("line_id", "cols"))
+            ).alias("rows")
+        )
+        .select(
+            "sent_id",
+            F.expr("transform(rows, r -> r.cols[0])").alias("tokens"),
+            F.expr("transform(rows, r -> element_at(r.cols, -1))").alias("tags"),
+        )
+    )
+    return sents
+
+
+def write_conll_fixture(path: str, n_sents: int = 120, seed: int = 42) -> pd.DataFrame:
+    """Deterministic CoNLL-shaped fixture file (FIXTURES.md §4) + the
+    expected parse as a pandas frame."""
+    from .fixtures import make_alias_table
+
+    rng = np.random.RandomState(seed)
+    alias = make_alias_table(60, seed=seed)
+    canon = alias[alias.alias == alias.canonical_name].drop_duplicates("entity_id")
+    fillers = "the report shows steady growth in revenue and demand".split()
+    rows = []
+    lines: list[str] = ["-DOCSTART- -X- -X- O", ""]
+    for s in range(n_sents):
+        tokens: list[str] = []
+        tags: list[str] = []
+        for _ in range(2 + rng.randint(4)):
+            tokens.append(fillers[rng.randint(len(fillers))])
+            tags.append("O")
+        ent = canon.iloc[rng.randint(len(canon))]
+        words = ent.canonical_name.split()
+        tokens.extend(words)
+        tags.extend(
+            [f"B-{ent.ner_type}"] + [f"I-{ent.ner_type}"] * (len(words) - 1)
+        )
+        tokens.append(".")
+        tags.append("O")
+        for t, g in zip(tokens, tags):
+            lines.append(f"{t} NNP {g}")
+        lines.append("")
+        rows.append((s, tokens, tags))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return pd.DataFrame(rows, columns=["sent_idx", "tokens", "tags"])

@@ -1,0 +1,90 @@
+"""CoNLL reader + conlleval-equivalent scorer tests (SURVEY §2.1 S1, §2.4 A4)."""
+
+import os
+import tempfile
+
+import pytest
+
+from char_ner_spark.evaluation import span_f1
+from char_ner_spark.sources import read_conll, write_conll_fixture
+
+
+@pytest.fixture(scope="module")
+def conll(spark):
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "eng.fixture")
+    expected = write_conll_fixture(path, n_sents=80, seed=42)
+    return path, expected
+
+
+def test_read_conll_reassembles_sentences(spark, conll):
+    path, expected = conll
+    got = read_conll(spark, path).toPandas().sort_values("sent_id")
+    assert len(got) == len(expected)
+    # docstart dropped; token/tag arrays parse back exactly, in order
+    got_map = {tuple(t): tuple(g) for t, g in zip(got.tokens, got.tags)}
+    want_map = {tuple(t): tuple(g) for t, g in zip(expected.tokens, expected.tags)}
+    assert got_map == want_map
+
+
+def test_span_f1_perfect_prediction(spark, conll):
+    path, _ = conll
+    sents = read_conll(spark, path)
+    tagged = sents.selectExpr("sent_id", "tags AS gold", "tags AS pred")
+    res = {r.ner_type: r for r in span_f1(tagged).collect()}
+    assert res["ALL"].fp == 0 and res["ALL"].fn == 0
+    assert res["ALL"].f1_e4 == 10000
+    assert set(res) >= {"ALL", "PER", "LOC", "ORG", "MISC"}
+
+
+def test_span_f1_counts_match_hand_example(spark):
+    rows = [
+        # gold: [PER@0-2], [LOC@3-4]; pred: [PER@0-2], [ORG@3-4] → ORG fp, LOC fn
+        (0, ["B-PER", "I-PER", "O", "B-LOC"], ["B-PER", "I-PER", "O", "B-ORG"]),
+        # gold: none; pred: one spurious PER
+        (1, ["O", "O"], ["B-PER", "O"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "sent_id long, gold array<string>, pred array<string>"
+    )
+    res = {r.ner_type: r for r in span_f1(df).collect()}
+    assert (res["ALL"].tp, res["ALL"].fp, res["ALL"].fn) == (1, 2, 1)
+    assert res["PER"].tp == 1 and res["PER"].fp == 1
+    assert res["LOC"].fn == 1 and res["ORG"].fp == 1
+    # micro P = 1/3, R = 1/2, F1 = 0.4
+    assert res["ALL"].precision_e4 == 3333
+    assert res["ALL"].recall_e4 == 5000
+    assert res["ALL"].f1_e4 == 4000
+
+
+def test_end_to_end_tagger_scored_on_conll_fixture(spark, conll):
+    """The reference's eval loop shape: read CoNLL → tag → score vs gold."""
+    from pyspark.sql import functions as F
+
+    from char_ner_spark.pipeline import _MENTION_SCHEMA  # noqa: F401
+    from char_ner_spark.tagger import tag_sentences
+    import pandas as pd
+
+    path, _ = conll
+    sents = read_conll(spark, path).toPandas()
+    texts = [" ".join(t) for t in sents.tokens]
+    tagged = tag_sentences(texts, "en")
+    import char_ner_spark.spans as S
+
+    pred_rows = []
+    for sid, text, gold, spans in zip(sents.sent_id, texts, sents.tags, tagged):
+        classes = ["O"] * len(text)
+        for b, e, cls, _ in spans:
+            for i in range(b, e):
+                classes[i] = cls
+        pred = S.char_classes_to_word_tags(text, classes)
+        pred_rows.append((int(sid), list(gold), pred))
+    df = spark.createDataFrame(
+        pred_rows, "sent_id long, gold array<string>, pred array<string>"
+    )
+    res = {r.ner_type: r for r in span_f1(df).collect()}
+    # the fixture plants exactly one entity per sentence; the hash-typed
+    # tagger finds the span but guesses the type — span-position recall is
+    # what the detector owes us. Check untyped span recovery via tp+misses:
+    assert res["ALL"].tp + res["ALL"].fn == 80  # every gold span accounted
+    assert res["ALL"].tp >= 15  # hash types agree ≥ chance (1/4) on 80 spans
