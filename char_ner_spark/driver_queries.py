@@ -172,9 +172,9 @@ SHARED_SQL: dict[str, str] = {
     """,
     "pivot_status_by_segment": """
         SELECT c_mktsegment,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment
     """,
@@ -273,7 +273,7 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
         """SELECT event_type,
-                  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
     ),

@@ -144,6 +144,22 @@ def bilstm_logits(char_ids: np.ndarray, w: dict[str, np.ndarray],
     return (x.reshape(n * T, -1) @ w["Wout"] + w["bout"]).reshape(n, T, NC)
 
 
+def save_weights(lang: str, out_dir: str) -> str:
+    """Persist a language's parameter set (ref:src/exper.py:~300-340
+    save/load, SURVEY §2.1 S3 — npz instead of pickle)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"charner_{lang}.npz")
+    np.savez(path, **model_weights(lang))
+    return path
+
+
+def load_weights(path: str) -> dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
 # ---------------------------------------------------------------------------
 # featurization (ref:src/featchar.py — char identity + capitalization)
 # ---------------------------------------------------------------------------

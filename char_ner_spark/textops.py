@@ -62,10 +62,34 @@ def sha256_text(text: str) -> str:
 
 _SENT_RE = re.compile(r"[^.!?]+[.!?]?")
 
+#: tagger tensors are [batch, maxlen]; cap sentence length like the
+#: reference's break2subsents (ref:src/utils.py:~100-140, SURVEY §2.2 P5)
+MAX_SENT_CHARS = 2048
 
-def split_sentences(text: str) -> list[str]:
-    """Split on . ! ? keeping the terminator; strip outer whitespace."""
-    return [m.group(0).strip() for m in _SENT_RE.finditer(text) if m.group(0).strip()]
+
+def _split_long(sent: str, max_len: int) -> list[str]:
+    """Deterministically split an over-long sentence at the last space
+    before max_len (hard cut when spaceless)."""
+    out = []
+    while len(sent) > max_len:
+        cut = sent.rfind(" ", 1, max_len)
+        if cut <= 0:
+            cut = max_len
+        out.append(sent[:cut].strip())
+        sent = sent[cut:].strip()
+    if sent:
+        out.append(sent)
+    return out
+
+
+def split_sentences(text: str, max_len: int = MAX_SENT_CHARS) -> list[str]:
+    """Split on . ! ? keeping the terminator; strip outer whitespace;
+    over-long sentences are sub-split (shared by oracle and Spark UDFs,
+    so offsets stay consistent on both sides)."""
+    sents = [m.group(0).strip() for m in _SENT_RE.finditer(text) if m.group(0).strip()]
+    if max_len and any(len(s) > max_len for s in sents):
+        sents = [c for s in sents for c in _split_long(s, max_len)]
+    return sents
 
 
 # --------------------------------------------------------------------------
