@@ -136,6 +136,20 @@ SHARED_SQL: dict[str, str] = {
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT SELECT s_nationkey FROM supplier
     """,
+    "set_intersect_all_custkeys": """
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "set_except_all_custkeys": """
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "sample_deterministic": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY MD5(CAST(o_orderkey AS STRING)), o_orderkey LIMIT 100
+    """,
     "distinct_counts_orders": """
         SELECT COUNT(DISTINCT o_custkey) AS n_custs,
                COUNT(DISTINCT o_orderstatus) AS n_status,
@@ -298,6 +312,14 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
     "doc_fingerprint_md5": (
         "SELECT doc_id, MD5(LOWER(text)) AS fp FROM documents",
         "SELECT doc_id, MD5(LOWER(text)) AS fp FROM documents",
+    ),
+    "scalar_hash_translate": (
+        """SELECT doc_id, SHA2(text, 256) AS sha, MD5(text) AS md5h,
+                  TRANSLATE(lang, 'aeiou', 'AEIOU') AS lang_t
+           FROM documents""",
+        """SELECT doc_id, SHA256(text) AS sha, MD5(text) AS md5h,
+                  TRANSLATE(lang, 'aeiou', 'AEIOU') AS lang_t
+           FROM documents""",
     ),
     "langid_heuristic": (
         _langid_sql(lambda pat: f"size(regexp_extract_all(text, '{pat}', 0))"),
