@@ -22,11 +22,15 @@ os.environ.setdefault("MKL_NUM_THREADS", "1")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default 24 of 32 host cores: the python tagger workers + JVM task threads
+# + shuffle IO together oversubscribe at 32 (measured: kg stage 20s at 24
+# threads vs 36s at 32); $SPARK_GRAFT_CPUS still wins when set
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "24"))
 CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/root/repo/.bench_cache")
 
-#: pages per sf unit — sf0.1 → 20k pages (~100k sentences)
-PAGES_PER_SF = 200_000
+#: pages per sf unit — sf0.1 → 100k pages (~550k sentences); sized so the
+#: KG measurement reflects steady-state throughput, not stage-latency floor
+PAGES_PER_SF = 1_000_000
 
 
 def sf_of(sf_dir: str) -> float:
