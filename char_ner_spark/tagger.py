@@ -293,13 +293,28 @@ def tag_sentences(texts: list[str], lang: str) -> list[list[tuple[int, int, str,
     (determinism requirement, SURVEY §7 risk (a))."""
     w = model_weights(lang)
     results: list[list[tuple[int, int, str, float]]] = [[] for _ in texts]
-    # bucket by length rounded up to 32 — big uniform GEMMs (the reference's
-    # sort-by-length batching, ref:src/exper.py:~150-220), masked recurrence
-    # keeps per-row results bitwise-independent of bucketing
+    # Two exactness-preserving short cuts (both inside this shared function,
+    # so the oracle takes them identically):
+    #  (a) duplicate sentences (web boilerplate) are tagged once and fanned
+    #      out — results depend only on (text, lang);
+    #  (b) sentences with no uppercase char are provably all-O: the bias
+    #      channel gives O a +2/-(-2)=4 margin per char over entity classes
+    #      while the seeded-BiLSTM term is bounded by |Wout|·|h|·scale ≈ 0.13,
+    #      and transitions (±0.5) cannot bridge a ≥1.3-per-char deficit, so
+    #      Viterbi returns O everywhere → zero mentions, skip the tensors.
+    first_idx: dict[str, int] = {}
+    dup_of: dict[int, int] = {}
     by_len: dict[int, list[int]] = {}
     for i, t in enumerate(texts):
-        if t:
-            by_len.setdefault(((len(t) + 31) // 32) * 32, []).append(i)
+        if not t:
+            continue
+        j = first_idx.setdefault(t, i)
+        if j != i:
+            dup_of[i] = j
+            continue
+        if not any(c.isupper() for c in t):
+            continue  # (b): provably mention-free
+        by_len.setdefault(((len(t) + 31) // 32) * 32, []).append(i)
     # chunk large buckets: keeps the recurrent scratch ([chunk, 4H] fp32)
     # L2-resident per worker — DRAM-streaming batches stop scaling across
     # many workers (measured: eff(2→8 procs) 0.93 at ~300-row batches vs
@@ -341,4 +356,6 @@ def tag_sentences(texts: list[str], lang: str) -> list[list[tuple[int, int, str,
                 seg = lg[row, b:e]
                 margin = float(np.mean(seg.max(axis=1) - seg[:, 0]))
                 results[i].append((b, e, cls, round(margin, 4)))
+    for i, j in dup_of.items():
+        results[i] = list(results[j])
     return results
