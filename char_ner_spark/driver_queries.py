@@ -626,7 +626,33 @@ def _fn_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_f1(sents.selectExpr("sent_id", "tags AS gold", "tags AS pred"))
 
 
+def _fn_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface (SURVEY §2.10): watermarked tumbling
+    windows over a page stream, drained with availableNow (rows-only —
+    deterministic fixture; result equals the batch aggregation, tested)."""
+    import tempfile
+
+    from .fixtures import make_alias_table, make_pages
+    from .streaming import run_stream_to_memory, stream_pages, windowed_page_counts
+
+    register_views(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cns_stream_")
+    pages_dir = os.path.join(d, "pages")
+    alias = make_alias_table(60, seed=42)
+    spark.createDataFrame(make_pages(60, seed=42, alias_df=alias)).write.mode(
+        "overwrite"
+    ).parquet(pages_dir)
+    return run_stream_to_memory(
+        spark,
+        windowed_page_counts(stream_pages(spark, pages_dir)),
+        "driver_stream_counts",
+        os.path.join(d, "ck"),
+        output_mode="complete",
+    )
+
+
 SPARK_FN: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "streaming_window_counts": (_fn_streaming_window_counts, None),
     "conll_reader_fixture": (_fn_conll_reader, None),
     "span_f1_scoring": (_fn_span_f1, None),
     "connected_components_graph": (_fn_connected_components, _CC_DUCK_SQL),
