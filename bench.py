@@ -83,7 +83,7 @@ def main() -> int:
         "q5_region_revenue",
         "window_topk_orders_per_customer",
         "agg_rollup_returns",
-        "token_count_documents",
+        "quality_token_stats",
         "ngram_jaccard_pairs",
         "ann_dot_topk",
     ]

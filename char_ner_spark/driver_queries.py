@@ -6,12 +6,23 @@ Three kinds of entries:
   - PAIRED_SQL: (spark_sql, duck_sql) where dialects diverge (array/json/
     regexp functions).
   - SPARK_FN: a Python callable for non-SQL operators (tagger, MinHash
-    dedup, SimHash, cosine ANN, KG pipeline); entries with a ``duck``
-    oracle where expressible (connected components via recursive CTE).
+    dedup, SimHash, KG pipeline); entries with a ``duck`` oracle where
+    expressible (connected components via recursive CTE, streaming
+    window counts via the equivalent batch aggregation).
 
-Numeric-stability contract: every computed numeric column is integerized
-(cents / e4 fixed-point via ROUND→BIGINT) so Spark and DuckDB hash
-identically; raw parquet doubles pass through untouched (same bits).
+Registry size is capped at 50 entries (the driver checks at most 50), so
+closely-related scalar operators share one query (e.g. date extraction +
+month formatting; UNION and UNION ALL). ``build_queries`` emits SPARK_FN
+first so the flagship KG queries are always within the checked prefix.
+
+Contract invariants (learned in round 1):
+  - every computed numeric column is integerized (cents / e4 fixed-point
+    via ROUND→BIGINT) so Spark and DuckDB hash identically;
+  - no array-typed output columns — the driver's canonicalizer sorts
+    column values in pandas and lists are unhashable; arrays are projected
+    to concat_ws strings of fixed-point ints;
+  - DuckDB string literals do NOT process backslash escapes while Spark's
+    do, so regex patterns are built per-dialect ('\\\\b' Spark, '\\b' duck).
 """
 
 from __future__ import annotations
@@ -124,9 +135,14 @@ SHARED_SQL: dict[str, str] = {
         SELECT p_partkey, p_name, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
         FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10
     """,
-    "set_union_nationkeys": """
-        SELECT c_nationkey AS nationkey FROM customer
-        UNION SELECT s_nationkey FROM supplier
+    # UNION (distinct) and UNION ALL exercised in one query (§2.7)
+    "set_union_ops": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_union_all,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT c_nationkey AS k FROM customer
+                    UNION SELECT s_nationkey FROM supplier) u) AS n_union_distinct
+        FROM (SELECT c_nationkey AS k FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier) t
     """,
     "set_intersect_nationkeys": """
         SELECT c_nationkey AS nationkey FROM customer
@@ -136,15 +152,17 @@ SHARED_SQL: dict[str, str] = {
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT SELECT s_nationkey FROM supplier
     """,
-    "set_intersect_all_custkeys": """
-        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
-        INTERSECT ALL
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-    "set_except_all_custkeys": """
-        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
-        EXCEPT ALL
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    # INTERSECT ALL + EXCEPT ALL in one query, tagged by op (§2.7)
+    "set_all_ops_custkeys": """
+        SELECT 'intersect_all' AS op, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') a
+        UNION ALL
+        SELECT 'except_all' AS op, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') b
     """,
     "sample_deterministic": """
         SELECT o_orderkey, o_totalprice FROM orders
@@ -163,35 +181,6 @@ SHARED_SQL: dict[str, str] = {
                CONCAT(p_brand, '-', p_type) AS brand_type
         FROM part
     """,
-    "scalar_date_funcs": """
-        SELECT o_orderkey,
-               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
-               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
-               CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS order_day
-        FROM orders
-    """,
-    "dedup_exact_documents": """
-        SELECT doc_id AS kept_doc_id FROM documents
-        WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
-    """,
-    "dedup_exact_groups": """
-        SELECT text, COUNT(*) AS n_dups, CAST(MIN(doc_id) AS BIGINT) AS keeper
-        FROM documents GROUP BY text HAVING COUNT(*) > 1
-    """,
-    "quality_chars_per_token": """
-        SELECT d.doc_id,
-               CAST(LENGTH(d.text) AS BIGINT) AS n_chars_text,
-               CAST(n_chars AS BIGINT) AS n_chars_meta
-        FROM documents d
-    """,
-    "pivot_status_by_segment": """
-        SELECT c_mktsegment,
-               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
-               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
-        FROM customer JOIN orders ON c_custkey = o_custkey
-        GROUP BY c_mktsegment
-    """,
     "cube_agg_lineitem": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -203,11 +192,6 @@ SHARED_SQL: dict[str, str] = {
     "in_subquery_parts": """
         SELECT p_partkey, p_name FROM part
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
-    """,
-    "union_all_count": """
-        SELECT COUNT(*) AS n FROM (
-            SELECT c_nationkey AS k FROM customer
-            UNION ALL SELECT s_nationkey FROM supplier) t
     """,
     "scalar_math_funcs": """
         SELECT l_orderkey, l_linenumber,
@@ -231,16 +215,19 @@ SHARED_SQL: dict[str, str] = {
 # 2. dialect-paired SQL: (spark_sql, duck_sql)
 # --------------------------------------------------------------------------
 
-_LANGID_PATS = {
-    "en": r"\\b(the|and|of|fast|slow)\\b",
-    "de": r"\\b(der|und|die|das)\\b",
-    "es": r"\\b(el|la|de|que)\\b",
-    "fr": r"\\b(le|et|la|les)\\b",
+# Spark unescapes '\\b' in string literals → regex \b; DuckDB standard
+# strings keep backslashes verbatim, so the pattern needs a single '\b'
+# (ADVICE r1: the double-backslash duck pattern matched nothing).
+_LANGID_WORDS = {
+    "en": "the|and|of|fast|slow",
+    "de": "der|und|die|das",
+    "es": "el|la|de|que",
+    "fr": "le|et|la|les",
 }
 
 
-def _langid_sql(count_expr: Callable[[str], str]) -> str:
-    cnt = {k: count_expr(v) for k, v in _LANGID_PATS.items()}
+def _langid_sql(count_expr: Callable[[str], str], boundary: str) -> str:
+    cnt = {k: count_expr(f"{boundary}({w}){boundary}") for k, w in _LANGID_WORDS.items()}
     return f"""
         SELECT doc_id, lang AS meta_lang,
                CASE WHEN {cnt['en']} >= {cnt['de']} AND {cnt['en']} >= {cnt['es']} AND {cnt['en']} >= {cnt['fr']} THEN 'en'
@@ -264,6 +251,96 @@ _SESSIONIZE = """
     FROM g
 """
 
+# word-trigram shingle Jaccard near-dup pairs (e4 fixed-point, threshold 0.2).
+# Scale design (Spark side): tokens are split ONCE (Catalyst re-evaluates a
+# `split()` inside every lambda element access otherwise — measured 8× on the
+# shingle stage), and the quadratic self-join runs only over shingles with
+# document frequency ≤ 1000 (candidate generation); the Jaccard numerator is
+# then re-counted EXACTLY over all shingles of each candidate pair. A shingle
+# shared by k docs costs k² join rows, so boilerplate shingles (df in the
+# millions at Common-Crawl scale) must not reach the self-join; any true
+# near-dup pair sharing at least one sub-cap shingle is still found, and at
+# every test sf the max df (25 at sf0.1) is far under the cap ⇒ output is
+# bit-identical to the uncapped oracle definition.
+_NGRAM_JACCARD_SPARK = """
+    WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
+             i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                            element_at(t, i + 2)))) AS shingle
+      FROM toks WHERE size(t) >= 3),
+    d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+    rare AS (SELECT shingle FROM d GROUP BY shingle HAVING COUNT(*) <= 1000),
+    dr AS (SELECT d.doc_id, d.shingle FROM d JOIN rare ON d.shingle = rare.shingle),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM dr a JOIN dr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    common AS (
+      SELECT cand.doc_a, cand.doc_b, COUNT(*) AS cnt
+      FROM cand
+      JOIN d a ON a.doc_id = cand.doc_a
+      JOIN d b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+      GROUP BY cand.doc_a, cand.doc_b)
+    SELECT doc_a, doc_b,
+           CAST(ROUND(cnt * 10000.0 / (sa.n + sb.n - cnt)) AS BIGINT) AS jaccard_e4
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE cnt * 10000.0 / (sa.n + sb.n - cnt) >= 2000
+"""
+
+_NGRAM_JACCARD_DUCK = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks),
+    d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+      FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(ROUND(cnt * 10000.0 / (sa.n + sb.n - cnt)) AS BIGINT) AS jaccard_e4
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE cnt * 10000.0 / (sa.n + sb.n - cnt) >= 2000
+"""
+
+# quantized-cosine brute-force top-k: components quantized to ints BEFORE
+# the dot products so both engines sum exact integers; the final divide/
+# sqrt/round is a fixed IEEE double expression evaluated identically.
+_COSINE_TOPK_SPARK = """
+    WITH q AS (SELECT transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ev
+          FROM embeddings)
+    SELECT vec_id,
+           CAST(ROUND(
+             CAST(aggregate(zip_with(ev, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, z) -> a + z) AS DOUBLE)
+             * 1000000.0
+             / (SQRT(CAST(aggregate(transform(ev, x -> x * x), CAST(0 AS BIGINT), (a, z) -> a + z) AS DOUBLE))
+              * SQRT(CAST(aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (a, z) -> a + z) AS DOUBLE)))
+           ) AS BIGINT) AS cosine_e6
+    FROM v CROSS JOIN q
+    ORDER BY cosine_e6 DESC, vec_id LIMIT 10
+"""
+
+_COSINE_TOPK_DUCK = """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ev
+          FROM embeddings)
+    SELECT vec_id,
+           CAST(ROUND(CAST(list_dot_product(ev, qv) AS DOUBLE) * 1000000.0
+                / (SQRT(CAST(list_dot_product(ev, ev) AS DOUBLE))
+                 * SQRT(CAST(list_dot_product(qv, qv) AS DOUBLE)))) AS BIGINT) AS cosine_e6
+    FROM v CROSS JOIN q
+    ORDER BY cosine_e6 DESC, vec_id LIMIT 10
+"""
+
 PAIRED_SQL: dict[str, tuple[str, str]] = {
     "sessionize_events": (
         _SESSIONIZE.format(epoch_ts="unix_timestamp(ts)",
@@ -271,13 +348,17 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
         _SESSIONIZE.format(epoch_ts="CAST(epoch(ts) AS BIGINT)",
                            epoch_prev="CAST(epoch(prev_ts) AS BIGINT)"),
     ),
+    # array slice/sort projected to a fixed-point string (driver canonicalizer
+    # cannot hash array cells — round-1 failure)
     "array_slice_sort": (
         """SELECT vec_id,
-                  sort_array(slice(embedding, 1, 4)) AS first4_sorted,
+                  concat_ws(',', transform(sort_array(slice(embedding, 1, 4)),
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS first4_sorted_e4,
                   CAST(size(embedding) AS BIGINT) AS dim
            FROM embeddings""",
         """SELECT vec_id,
-                  list_sort(list_slice(embedding, 1, 4)) AS first4_sorted,
+                  array_to_string(list_transform(list_sort(list_slice(embedding, 1, 4)),
+                                  x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)), ',') AS first4_sorted_e4,
                   CAST(len(embedding) AS BIGINT) AS dim
            FROM embeddings""",
     ),
@@ -291,84 +372,68 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
                   COUNT(*) AS n
            FROM events GROUP BY event_type""",
     ),
-    "scalar_month_string": (
-        "SELECT o_orderkey, DATE_FORMAT(o_orderdate, 'yyyy-MM') AS order_month_str FROM orders",
-        "SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m') AS order_month_str FROM orders",
+    # date-part extraction + month formatting (merged scalar_month_string)
+    "scalar_date_funcs": (
+        """SELECT o_orderkey,
+                  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+                  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+                  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS order_day,
+                  DATE_FORMAT(o_orderdate, 'yyyy-MM') AS order_month_str
+           FROM orders""",
+        """SELECT o_orderkey,
+                  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+                  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+                  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS order_day,
+                  STRFTIME(o_orderdate, '%Y-%m') AS order_month_str
+           FROM orders""",
     ),
-    "array_embedding_stats": (
-        """SELECT vec_id, label,
-                  CAST(size(embedding) AS BIGINT) AS dim,
-                  CAST(size(filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
-           FROM embeddings""",
-        """SELECT vec_id, label,
-                  CAST(len(embedding) AS BIGINT) AS dim,
-                  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
-           FROM embeddings""",
+    # exact dedup, hash-keyed shuffle: Spark groups by sha2(text) so shuffle
+    # keys are 64-byte digests, not multi-KB documents (same groups — the
+    # oracle keeps the raw-text definition)
+    "dedup_exact_documents": (
+        """SELECT doc_id AS kept_doc_id FROM documents
+           WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha2(text, 256))""",
+        """SELECT doc_id AS kept_doc_id FROM documents
+           WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)""",
     ),
-    "token_count_documents": (
-        "SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
-        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "dedup_exact_groups": (
+        """SELECT MIN(text) AS text, COUNT(*) AS n_dups,
+                  CAST(MIN(doc_id) AS BIGINT) AS keeper
+           FROM documents GROUP BY sha2(text, 256) HAVING COUNT(*) > 1""",
+        """SELECT text, COUNT(*) AS n_dups, CAST(MIN(doc_id) AS BIGINT) AS keeper
+           FROM documents GROUP BY text HAVING COUNT(*) > 1""",
     ),
-    "doc_fingerprint_md5": (
-        "SELECT doc_id, MD5(LOWER(text)) AS fp FROM documents",
-        "SELECT doc_id, MD5(LOWER(text)) AS fp FROM documents",
+    # token counting + quality scoring in one pass (chars/token e4)
+    "quality_token_stats": (
+        """SELECT doc_id,
+                  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(LENGTH(text) AS BIGINT) AS n_chars_text,
+                  CAST(n_chars AS BIGINT) AS n_chars_meta,
+                  CAST(ROUND(LENGTH(text) * 10000.0 / size(split(text, ' '))) AS BIGINT) AS chars_per_token_e4
+           FROM documents""",
+        """SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(LENGTH(text) AS BIGINT) AS n_chars_text,
+                  CAST(n_chars AS BIGINT) AS n_chars_meta,
+                  CAST(ROUND(LENGTH(text) * 10000.0 / len(string_split(text, ' '))) AS BIGINT) AS chars_per_token_e4
+           FROM documents""",
     ),
+    # document fingerprinting: sha256 + md5 (raw and lowercased) + translate
     "scalar_hash_translate": (
         """SELECT doc_id, SHA2(text, 256) AS sha, MD5(text) AS md5h,
+                  MD5(LOWER(text)) AS fp_lower,
                   TRANSLATE(lang, 'aeiou', 'AEIOU') AS lang_t
            FROM documents""",
         """SELECT doc_id, SHA256(text) AS sha, MD5(text) AS md5h,
+                  MD5(LOWER(text)) AS fp_lower,
                   TRANSLATE(lang, 'aeiou', 'AEIOU') AS lang_t
            FROM documents""",
     ),
     "langid_heuristic": (
-        _langid_sql(lambda pat: f"size(regexp_extract_all(text, '{pat}', 0))"),
-        _langid_sql(lambda pat: f"len(regexp_extract_all(text, '{pat}'))"),
+        _langid_sql(lambda pat: f"size(regexp_extract_all(text, '{pat}', 0))", "\\\\b"),
+        _langid_sql(lambda pat: f"len(regexp_extract_all(text, '{pat}'))", "\\b"),
     ),
-    # word-trigram shingle Jaccard near-dup pairs (e4 fixed-point)
-    "ngram_jaccard_pairs": (
-        """
-        WITH sh AS (
-          SELECT doc_id, explode(CASE WHEN size(split(text, ' ')) >= 3
-            THEN transform(sequence(1, size(split(text, ' ')) - 2),
-                 i -> concat_ws(' ', element_at(split(text, ' '), i),
-                                element_at(split(text, ' '), i + 1),
-                                element_at(split(text, ' '), i + 2)))
-            ELSE array() END) AS shingle
-          FROM documents),
-        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
-        common AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
-        SELECT doc_a, doc_b,
-               CAST(ROUND(c * 10000.0 / (sa.n + sb.n - c)) AS BIGINT) AS jaccard_e4
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE c * 10000.0 / (sa.n + sb.n - c) >= 2000
-        """,
-        """
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        sh AS (
-          SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-          FROM toks),
-        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
-        common AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
-        SELECT doc_a, doc_b,
-               CAST(ROUND(c * 10000.0 / (sa.n + sb.n - c)) AS BIGINT) AS jaccard_e4
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE c * 10000.0 / (sa.n + sb.n - c) >= 2000
-        """,
-    ),
+    "ngram_jaccard_pairs": (_NGRAM_JACCARD_SPARK, _NGRAM_JACCARD_DUCK),
     # char-bigram counts — the shape of the reference's transition-matrix
     # estimation (SURVEY §2.4 A2: bigram counts → log-prob matrix)
     "char_bigram_counts": (
@@ -405,6 +470,7 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
         ORDER BY dot_q DESC, vec_id LIMIT 10
         """,
     ),
+    "cosine_topk_embeddings": (_COSINE_TOPK_SPARK, _COSINE_TOPK_DUCK),
 }
 
 # --------------------------------------------------------------------------
@@ -449,7 +515,8 @@ _CC_DUCK_SQL = """
 
 
 def _fn_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup buckets over documents (rows-only check)."""
+    """MinHash-LSH near-dup buckets over documents (rows-only check; doc_ids
+    projected to a comma string — canonicalizer-safe)."""
     from pyspark.sql import functions as F
 
     from .pipeline import _bands_udf
@@ -461,51 +528,38 @@ def _fn_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bands.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("doc_ids"), F.count("*").alias("n"))
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"), F.count("*").alias("n"))
         .filter("n > 1")
-        .select("band_idx", "band_hash", "doc_ids", "n")
+        .select(
+            "band_idx", "band_hash",
+            F.array_join(F.col("ids").cast("array<string>"), ",").alias("doc_ids"),
+            "n",
+        )
     )
 
 
 def _fn_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + hamming-band prefix (rows-only check)."""
+    """SimHash fingerprints + hamming-band prefix (rows-only check).
+    NumPy-batched per Arrow batch — no per-token Python loop."""
+    import pandas as pd
+
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from .textops import simhash64
+    from .textops import simhash64_batch
 
     register_views(spark, sf_dir)
 
     # lambda form: `from __future__ import annotations` stringifies type
     # hints, which pandas_udf can't introspect on a nested def
     _simhash_udf = F.pandas_udf(
-        lambda s: s.map(lambda x: simhash64(x.split()) if x else 0), T.LongType()
+        lambda s: pd.Series(simhash64_batch(s)), T.LongType()
     )
 
     return (
         spark.table("documents")
         .select("doc_id", _simhash_udf("text").alias("simhash"))
         .withColumn("band16", (F.col("simhash").bitwiseAND(F.lit(0xFFFF))).cast("long"))
-    )
-
-
-def _fn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True cosine brute-force top-k (float path, rows-only check)."""
-    from pyspark.sql import functions as F
-
-    register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
-    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
-    dot = "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
-    nrm = "SQRT(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
-    return (
-        emb.crossJoin(F.broadcast(q))
-        .selectExpr(
-            "vec_id",
-            f"ROUND({dot} / ({nrm.format(c='embedding')} * {nrm.format(c='qe')}), 6) AS cosine",
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
     )
 
 
@@ -557,18 +611,37 @@ def _fn_pivot_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PIVOT_DUCK_SQL = SHARED_SQL["pivot_status_by_segment"]
+_PIVOT_DUCK_SQL = """
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+"""
 
 
 def _fn_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL) — engine-specific sketch, rows-only."""
-    from pyspark.sql import functions as F
-
+    """approx_count_distinct (HLL, SURVEY §2.4 A6). The sketch value is
+    engine-specific, so the oracled columns are the exact count plus a
+    within-10%-relative-error flag (HLL rsd default 0.05 ⇒ observed error
+    5-7% on these tables; deterministic for fixed data, and the oracle
+    asserts the bound holds)."""
     register_views(spark, sf_dir)
-    return spark.table("orders").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
-    )
+    return spark.sql("""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+               CAST(CASE WHEN ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+                              <= 0.10 * COUNT(DISTINCT o_custkey)
+                         THEN 1 ELSE 0 END AS BIGINT) AS within_10pct
+        FROM orders
+    """)
+
+
+_APPROX_DISTINCT_DUCK_SQL = """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           CAST(1 AS BIGINT) AS within_10pct
+    FROM orders
+"""
 
 
 def _fn_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,12 +660,22 @@ def _fn_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline on the deterministic media fixture
-    (decode stubbed per sandbox; plumbing real; rows-only)."""
+    (decode stubbed per sandbox; plumbing real; rows-only). The 16-dim
+    feature is projected to an e4 fixed-point string (no array outputs)."""
+    from pyspark.sql import functions as F
+
     from .multimodal import MEDIA_SCHEMA, extract_media_features, make_media_fixture
 
     register_views(spark, sf_dir)
     media = spark.createDataFrame(make_media_fixture(96, seed=42), schema=MEDIA_SCHEMA)
-    return extract_media_features(media)
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha256",
+        F.expr(
+            "concat_ws(',', transform(feature, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)))"
+        ).alias("feature_e4"),
+        "thumb_w", "thumb_h",
+    )
 
 
 def _conll_fixture_path() -> str:
@@ -608,63 +691,141 @@ def _conll_fixture_path() -> str:
 
 def _fn_conll_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's CoNLL input format through the Spark reader
-    (SURVEY §2.1 S1; rows-only — deterministic fixture file)."""
+    (SURVEY §2.1 S1; rows-only — deterministic fixture file). Token/tag
+    arrays are projected to space-joined strings (canonicalizer-safe)."""
     from .sources import read_conll
 
     register_views(spark, sf_dir)
-    return read_conll(spark, _conll_fixture_path())
-
-
-def _fn_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """conlleval-equivalent phrase F1 aggregation (SURVEY §2.4 A4;
-    rows-only — tagger predictions vs fixture gold)."""
-    from .evaluation import span_f1
-    from .sources import read_conll
-
-    register_views(spark, sf_dir)
-    sents = read_conll(spark, _conll_fixture_path())
-    return span_f1(sents.selectExpr("sent_id", "tags AS gold", "tags AS pred"))
-
-
-def _fn_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming surface (SURVEY §2.10): watermarked tumbling
-    windows over a page stream, drained with availableNow (rows-only —
-    deterministic fixture; result equals the batch aggregation, tested)."""
-    import tempfile
-
-    from .fixtures import make_alias_table, make_pages
-    from .streaming import run_stream_to_memory, stream_pages, windowed_page_counts
-
-    register_views(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="cns_stream_")
-    pages_dir = os.path.join(d, "pages")
-    alias = make_alias_table(60, seed=42)
-    spark.createDataFrame(make_pages(60, seed=42, alias_df=alias)).write.mode(
-        "overwrite"
-    ).parquet(pages_dir)
-    return run_stream_to_memory(
-        spark,
-        windowed_page_counts(stream_pages(spark, pages_dir)),
-        "driver_stream_counts",
-        os.path.join(d, "ck"),
-        output_mode="complete",
+    return read_conll(spark, _conll_fixture_path()).selectExpr(
+        "sent_id",
+        "concat_ws(' ', tokens) AS tokens_str",
+        "concat_ws(' ', tags) AS tags_str",
     )
 
 
+def _fn_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conlleval-equivalent phrase F1 (SURVEY §2.4 A4) through the real
+    evaluation.span_f1 aggregation, on BIO tag sequences derived from the
+    documents table: gold = maximal runs of tokens with length ≥ 5,
+    pred = runs with length ≥ 6 (deterministic, nontrivial P/R). The DuckDB
+    oracle recomputes the same phrase-level match in pure SQL."""
+    from .evaluation import span_f1
+
+    register_views(spark, sf_dir)
+    tagged = spark.sql("""
+        WITH toks AS (SELECT doc_id, split(text, ' ') AS tk FROM documents)
+        SELECT doc_id AS sent_id,
+               transform(tk, (t, i) -> CASE WHEN length(t) >= 5
+                   THEN CASE WHEN i = 0 OR length(element_at(tk, i)) < 5
+                        THEN 'B-LEN' ELSE 'I-LEN' END
+                   ELSE 'O' END) AS gold,
+               transform(tk, (t, i) -> CASE WHEN length(t) >= 6
+                   THEN CASE WHEN i = 0 OR length(element_at(tk, i)) < 6
+                        THEN 'B-LEN' ELSE 'I-LEN' END
+                   ELSE 'O' END) AS pred
+        FROM toks
+    """)
+    return span_f1(tagged)
+
+
+_SPAN_F1_DUCK_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents),
+    marks AS (SELECT doc_id, i, len(t) >= 5 AS g, len(t) >= 6 AS p FROM toks),
+    lagged AS (SELECT doc_id, i, g, p,
+       CASE WHEN g AND NOT coalesce(lag(g) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+            THEN 1 ELSE 0 END AS g_new,
+       CASE WHEN p AND NOT coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+            THEN 1 ELSE 0 END AS p_new
+       FROM marks),
+    runs AS (SELECT doc_id, i, g, p,
+       SUM(g_new) OVER (PARTITION BY doc_id ORDER BY i) AS g_rid,
+       SUM(p_new) OVER (PARTITION BY doc_id ORDER BY i) AS p_rid
+       FROM lagged),
+    gspans AS (SELECT doc_id, MIN(i) - 1 AS s, MAX(i) AS e FROM runs WHERE g GROUP BY doc_id, g_rid),
+    pspans AS (SELECT doc_id, MIN(i) - 1 AS s, MAX(i) AS e FROM runs WHERE p GROUP BY doc_id, p_rid),
+    keyed AS (
+      SELECT CASE WHEN gs.doc_id IS NULL THEN 0 ELSE 1 END AS in_gold,
+             CASE WHEN ps.doc_id IS NULL THEN 0 ELSE 1 END AS in_pred
+      FROM gspans gs FULL OUTER JOIN pspans ps USING (doc_id, s, e)),
+    agg AS (SELECT CAST(SUM(in_gold * in_pred) AS BIGINT) AS tp,
+                   CAST(SUM(in_pred * (1 - in_gold)) AS BIGINT) AS fp,
+                   CAST(SUM(in_gold * (1 - in_pred)) AS BIGINT) AS fn FROM keyed),
+    pr AS (SELECT tp, fp, fn,
+            tp / GREATEST(tp + fp, 1) AS p, tp / GREATEST(tp + fn, 1) AS r FROM agg)
+    SELECT ner_type, tp, fp, fn,
+           CAST(ROUND(p * 10000) AS BIGINT) AS precision_e4,
+           CAST(ROUND(r * 10000) AS BIGINT) AS recall_e4,
+           CAST(ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END * 10000) AS BIGINT) AS f1_e4
+    FROM pr CROSS JOIN (SELECT unnest(['LEN', 'ALL']) AS ner_type) ty
+"""
+
+
+def _fn_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface (SURVEY §2.10): watermarked 1-hour
+    tumbling windows over the events table read as a file stream, drained
+    with availableNow. The result equals the batch hour-bucket aggregation,
+    which is the DuckDB oracle (window start emitted as epoch seconds)."""
+    from pyspark.sql import functions as F
+
+    from .streaming import run_stream_to_memory
+
+    register_views(spark, sf_dir)
+    import hashlib
+    import tempfile
+
+    # FileStreamSource needs a DIRECTORY; events.parquet is a single file —
+    # stage a symlink to it inside a per-sf temp dir (no data copied)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    events_dir = os.path.join(tempfile.gettempdir(), f"cns_events_{tag}")
+    link = os.path.join(events_dir, "part-00000.parquet")
+    os.makedirs(events_dir, exist_ok=True)
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # event-time ops need TIMESTAMP; parquet NTZ → UTC instant (session tz
+    # is pinned to UTC, so unix_timestamp == DuckDB epoch())
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    res = run_stream_to_memory(
+        spark, agg, "driver_stream_counts",
+        os.path.join(tempfile.mkdtemp(prefix="cns_stream_"), "ck"),
+        output_mode="complete",
+    )
+    return res.select(
+        F.unix_timestamp(F.col("win.start")).cast("long").alias("win_epoch"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_STREAMING_DUCK_SQL = """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_epoch,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+"""
+
+
 SPARK_FN: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "streaming_window_counts": (_fn_streaming_window_counts, None),
-    "conll_reader_fixture": (_fn_conll_reader, None),
-    "span_f1_scoring": (_fn_span_f1, None),
-    "connected_components_graph": (_fn_connected_components, _CC_DUCK_SQL),
-    "pivot_operator_native": (_fn_pivot_operator, _PIVOT_DUCK_SQL),
-    "approx_distinct_counts": (_fn_approx_distinct, None),
-    "ann_lsh_topk": (_fn_ann_lsh_topk, None),
-    "media_features_fixture": (_fn_media_features, None),
-    "minhash_dedup_buckets": (_fn_minhash_dedup, None),
-    "simhash_documents": (_fn_simhash_documents, None),
-    "cosine_topk_embeddings": (_fn_cosine_topk, None),
     "kg_triples_fixture": (_fn_kg_triples, None),
     "kg_mentions_fixture": (_fn_kg_mentions, None),
+    "streaming_window_counts": (_fn_streaming_window_counts, _STREAMING_DUCK_SQL),
+    "span_f1_scoring": (_fn_span_f1, _SPAN_F1_DUCK_SQL),
+    "connected_components_graph": (_fn_connected_components, _CC_DUCK_SQL),
+    "minhash_dedup_buckets": (_fn_minhash_dedup, None),
+    "simhash_documents": (_fn_simhash_documents, None),
+    "media_features_fixture": (_fn_media_features, None),
+    "conll_reader_fixture": (_fn_conll_reader, None),
+    "pivot_operator_native": (_fn_pivot_operator, _PIVOT_DUCK_SQL),
+    "approx_distinct_counts": (_fn_approx_distinct, _APPROX_DISTINCT_DUCK_SQL),
+    "ann_lsh_topk": (_fn_ann_lsh_topk, None),
 }
 
 
@@ -682,21 +843,25 @@ def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """≤50 entries; non-SQL flagship operators first (the driver checks the
+    leading 50 — round 1 lost its last 6 entries past that cap)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, sql in SHARED_SQL.items():
-        out[name] = _sql_query(sql)
-    for name, (spark_sql, _) in PAIRED_SQL.items():
-        out[name] = _sql_query(spark_sql)
     for name, (fn, _) in SPARK_FN.items():
         out[name] = fn
+    for name, (spark_sql, _) in PAIRED_SQL.items():
+        out[name] = _sql_query(spark_sql)
+    for name, sql in SHARED_SQL.items():
+        out[name] = _sql_query(sql)
+    assert len(out) <= 50, f"registry has {len(out)} entries (driver cap is 50)"
     return out
 
 
 def build_oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = dict(SHARED_SQL)
-    for name, (_, duck_sql) in PAIRED_SQL.items():
-        out[name] = duck_sql
+    out: dict[str, str] = {}
     for name, (_, duck_sql) in SPARK_FN.items():
         if duck_sql is not None:
             out[name] = duck_sql
+    for name, (_, duck_sql) in PAIRED_SQL.items():
+        out[name] = duck_sql
+    out.update(SHARED_SQL)
     return out
