@@ -185,6 +185,12 @@ SHARED_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
+    "grouping_sets_lineitem": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
     "having_frequent_customers": """
         SELECT o_custkey, COUNT(*) AS n_orders FROM orders
         GROUP BY o_custkey HAVING COUNT(*) >= 15

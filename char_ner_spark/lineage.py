@@ -59,9 +59,14 @@ def append_manifest(spark: SparkSession, out_dir: str, row: dict) -> None:
 
 def triples_checksum(df: DataFrame) -> tuple[int, str]:
     """(row_count, order-insensitive checksum) of a triples DataFrame —
-    xor/sum of per-row hashes, computed distributed (no collect)."""
+    xor/sum of per-row hashes, computed distributed (no collect). ``conf``
+    enters integer-stabilized (e6 fixed point) so resumed units cannot
+    silently drift in confidence (ADVICE r1)."""
     h = df.select(
-        F.xxhash64("subj", "pred", "obj", "url", "sent_idx").alias("h")
+        F.xxhash64(
+            "subj", "pred", "obj", "url", "sent_idx",
+            F.expr("CAST(ROUND(conf * 1e6) AS BIGINT)"),
+        ).alias("h")
     ).agg(
         F.count("h").alias("n"),
         F.expr("bit_xor(h)").alias("s"),  # order-insensitive, overflow-free
@@ -76,9 +81,11 @@ def run_partitioned(
     out_dir: str,
     n_parts: int = 4,
     fail_after: int | None = None,
+    weights_map: dict | None = None,
 ) -> list[dict]:
     """Run the pipeline per work unit with resume. ``fail_after`` injects a
-    crash after that many units (tests). Returns manifest rows written."""
+    crash after that many units (tests); ``weights_map`` (lang → params)
+    runs inference from stored weights. Returns manifest rows written."""
     from .pipeline import build_dictionary_state, run_pipeline
 
     os.makedirs(out_dir, exist_ok=True)
@@ -97,16 +104,17 @@ def run_partitioned(
         slice_df = staged.filter(F.col("part_id") == pid).drop("part_id")
         obs = Observation(f"pages_in_{pid}")
         slice_df = slice_df.observe(obs, F.count(F.lit(1)).alias("rows_in"))
-        out = run_pipeline(spark, slice_df, alias_pdf, dict_state=dict_state)
+        out = run_pipeline(spark, slice_df, alias_pdf, dict_state=dict_state,
+                           weights_map=weights_map)
         triples = out["triples"]
-        (
-            triples.withColumn("part_id", F.lit(pid))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "triples", f"part_id={pid}"))
-        )
-        n, checksum = triples_checksum(
-            spark.read.parquet(os.path.join(out_dir, "triples", f"part_id={pid}"))
-        )
+        part_path = os.path.join(out_dir, "triples", f"part_id={pid}")
+        triples.withColumn("part_id", F.lit(pid)).write.mode("overwrite").parquet(part_path)
+        written_df = spark.read.parquet(part_path)
+        n, checksum = triples_checksum(written_df)
+        # done with this unit — release the cached tagger output before the
+        # next unit persists its own (K~10k units would otherwise pile up
+        # cached blocks for the whole session; ADVICE r1)
+        out["mentions"].unpersist()
         row = {
             "stage": "triples",
             "part_id": pid,
@@ -116,20 +124,104 @@ def run_partitioned(
             "completed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         }
         append_manifest(spark, out_dir, row)
+        write_snapshot(spark, out_dir, n_parts, schema_json=written_df.schema.json())
         written.append(row)
         units_run += 1
-    # snapshot manifest (Iceberg-style metadata summary)
-    snap = {
-        "table": "triples",
-        "n_parts": n_parts,
-        "completed": sorted(completed_parts(spark, out_dir, "triples")),
-    }
-    with open(os.path.join(out_dir, "snapshot.json"), "w") as f:
-        json.dump(snap, f, indent=1, sort_keys=True)
+    if current_snapshot(out_dir) is None:  # all-done resume with no metadata yet
+        write_snapshot(spark, out_dir, n_parts)
     return written
 
 
-def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.option("basePath", os.path.join(out_dir, "triples")).parquet(
-        os.path.join(out_dir, "triples", "part_id=*")
-    )
+# ---------------------------------------------------------------------------
+# Iceberg-style snapshot metadata: every commit appends snapshot-N.json (the
+# manifest list at that point: completed parts + checksums + schema
+# fingerprint) and flips the `current` pointer atomically (rename). Readers
+# resolve the pointer and read exactly the files a committed snapshot covers
+# — the shape a real catalog (Iceberg/Delta) would slot into behind the same
+# module boundary.
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "metadata")
+
+
+def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int,
+                   schema_json: str | None = None) -> int:
+    """Append snapshot-N.json + point `current` at it; returns N."""
+    import hashlib
+
+    meta = _snapshot_dir(out_dir)
+    os.makedirs(meta, exist_ok=True)
+    prev = current_snapshot(out_dir)
+    n = (prev["snapshot_id"] + 1) if prev else 0
+    m = read_manifest(spark, out_dir)
+    parts = []
+    if m is not None:
+        rows = (
+            m.filter(F.col("stage") == "triples")
+            .groupBy("part_id")
+            .agg(F.max(F.struct("completed_at", "rows_out", "checksum")).alias("last"))
+            .select("part_id", "last.rows_out", "last.checksum")
+            .collect()
+        )
+        parts = sorted(
+            ({"part_id": int(r.part_id), "rows": int(r.rows_out), "checksum": r.checksum}
+             for r in rows),
+            key=lambda p: p["part_id"],
+        )
+    if schema_json is None and prev is not None:
+        schema_json = prev.get("schema_json")
+    snap = {
+        "snapshot_id": n,
+        "table": "triples",
+        "n_parts": n_parts,
+        "parent_id": prev["snapshot_id"] if prev else None,
+        "completed": [p["part_id"] for p in parts],
+        "manifest": parts,
+        "schema_json": schema_json,
+        "schema_fingerprint": hashlib.sha256(
+            (schema_json or "").encode()
+        ).hexdigest()[:16],
+    }
+    with open(os.path.join(meta, f"snapshot-{n}.json"), "w") as f:
+        json.dump(snap, f, indent=1, sort_keys=True)
+    tmp = os.path.join(meta, "current.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, os.path.join(meta, "current"))
+    # keep the legacy flat summary too (round-1 surface)
+    with open(os.path.join(out_dir, "snapshot.json"), "w") as f:
+        json.dump({"table": "triples", "n_parts": n_parts,
+                   "completed": snap["completed"]}, f, indent=1, sort_keys=True)
+    return n
+
+
+def current_snapshot(out_dir: str, snapshot_id: int | None = None) -> dict | None:
+    """Resolve the `current` pointer (or a pinned id — time travel)."""
+    meta = _snapshot_dir(out_dir)
+    ptr = os.path.join(meta, "current")
+    if snapshot_id is None:
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            snapshot_id = int(f.read().strip())
+    path = os.path.join(meta, f"snapshot-{snapshot_id}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_triples(spark: SparkSession, out_dir: str,
+                 snapshot_id: int | None = None) -> DataFrame:
+    """Read triples via the snapshot pointer (pin ``snapshot_id`` for time
+    travel); falls back to a directory glob when no snapshot exists."""
+    base = os.path.join(out_dir, "triples")
+    snap = current_snapshot(out_dir, snapshot_id)
+    if snap is not None:
+        paths = [os.path.join(base, f"part_id={p}") for p in snap["completed"]]
+        if not paths:
+            return spark.read.option("basePath", base).parquet(base).limit(0)
+        return spark.read.option("basePath", base).parquet(*paths)
+    return spark.read.option("basePath", base).parquet(os.path.join(base, "part_id=*"))

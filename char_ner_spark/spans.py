@@ -131,13 +131,21 @@ def word_offsets(text: str) -> list[tuple[int, int]]:
     return offs
 
 
-def word_tags_to_char_classes(text: str, word_tags: list[str]) -> list[str]:
+def word_tags_to_char_classes(text: str, word_tags: list[str],
+                              scheme: str = "std") -> list[str]:
     """Word-level BIO tags → per-char class labels over ``text``.
 
-    Every char of a word carries the word's class; a space carries the
-    shared class of its neighbors when both sides continue one entity
-    (Repstd keeps spaces inside multi-word entities), else OUT.
+    Every char of a word carries the word's class. Scheme (the reference's
+    D4 axis, ref:src/rep.py Repstd vs Repnospace):
+      - ``std``: a space carries the shared class of its neighbors when the
+        right word is an I- continuation of the left word's entity (spaces
+        inside multi-word entities are labeled);
+      - ``nospace``: separator chars are always OUT — the char stream carries
+        no span-bridging information (lossy for adjacent same-class spans,
+        see :func:`char_classes_to_word_tags`).
     """
+    if scheme not in ("std", "nospace"):
+        raise ValueError(f"unknown scheme {scheme!r}")
     offs = word_offsets(text)
     assert len(offs) == len(word_tags), (len(offs), len(word_tags))
     classes = [OUT] * len(text)
@@ -146,8 +154,10 @@ def word_tags_to_char_classes(text: str, word_tags: list[str]) -> list[str]:
         c = cls if t != OUT else OUT
         for i in range(s, e):
             classes[i] = c
-    # spaces inside a multi-word entity: same class both sides AND the right
-    # word is an I- continuation of the left word's span
+    if scheme == "nospace":
+        return classes
+    # Repstd — spaces inside a multi-word entity: same class both sides AND
+    # the right word is an I- continuation of the left word's span
     for k, ((_, le), tl) in enumerate(zip(offs[:-1], word_tags[:-1])):
         rs, _ = offs[k + 1]
         tr = word_tags[k + 1]
@@ -159,10 +169,23 @@ def word_tags_to_char_classes(text: str, word_tags: list[str]) -> list[str]:
     return classes
 
 
-def char_classes_to_word_tags(text: str, classes: list[str]) -> list[str]:
+def char_classes_to_word_tags(text: str, classes: list[str],
+                              scheme: str = "std") -> list[str]:
     """Char classes → word BIO tags (majority class per word; the reference's
     char→word recovery, ref:src/rep.py:~120-180 — consistent after Viterbi's
-    word-constant constraint, majority is the fallback)."""
+    word-constant constraint, majority is the fallback).
+
+    Span joining per scheme:
+      - ``std``: adjacent same-class words merge iff the separating chars
+        also carry the class (space-bridged entity) — exact inverse of the
+        Repstd encoding;
+      - ``nospace``: adjacent same-class words ALWAYS merge — without space
+        labels the char stream cannot distinguish one multi-word entity from
+        two touching same-class entities, so the decoder takes the merge
+        (the reference's documented Repnospace lossiness).
+    """
+    if scheme not in ("std", "nospace"):
+        raise ValueError(f"unknown scheme {scheme!r}")
     offs = word_offsets(text)
     word_cls: list[str] = []
     for s, e in offs:
@@ -170,8 +193,6 @@ def char_classes_to_word_tags(text: str, classes: list[str]) -> list[str]:
         for i in range(s, e):
             counts[classes[i]] = counts.get(classes[i], 0) + 1
         word_cls.append(max(counts, key=lambda c: (counts[c], c != OUT)))
-    # class runs → BIO; adjacent same-class words merge into one span iff the
-    # separating chars also carry the class (space-bridged entity)
     tags: list[str] = []
     for k, cls in enumerate(word_cls):
         if cls == OUT:
@@ -179,8 +200,11 @@ def char_classes_to_word_tags(text: str, classes: list[str]) -> list[str]:
             continue
         joined = False
         if k > 0 and word_cls[k - 1] == cls:
-            gap = range(offs[k - 1][1], offs[k][0])
-            joined = all(classes[i] == cls for i in gap) and len(list(gap)) > 0
+            if scheme == "nospace":
+                joined = True
+            else:
+                gap = range(offs[k - 1][1], offs[k][0])
+                joined = all(classes[i] == cls for i in gap) and len(list(gap)) > 0
         tags.append(("I-" if joined else "B-") + cls)
     return tags
 

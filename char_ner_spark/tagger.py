@@ -284,14 +284,20 @@ def viterbi_batch(logits: np.ndarray, boundary: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def tag_sentences(texts: list[str], lang: str) -> list[list[tuple[int, int, str, float]]]:
+def tag_sentences(texts: list[str], lang: str,
+                  weights: dict[str, np.ndarray] | None = None
+                  ) -> list[list[tuple[int, int, str, float]]]:
     """Batch of sentences (one language) → per-sentence mention spans
     ``(begin, end_exclusive, ner_type, score)`` with char offsets.
+
+    ``weights`` overrides the seeded per-language parameters (the
+    reference's load-params-from-storage path, ref:src/exper.py:~300-340;
+    see :func:`load_weights`).
 
     Rows are grouped by exact length so padded positions never exist —
     keeps per-row results bitwise-identical across any batch composition
     (determinism requirement, SURVEY §7 risk (a))."""
-    w = model_weights(lang)
+    w = weights if weights is not None else model_weights(lang)
     results: list[list[tuple[int, int, str, float]]] = [[] for _ in texts]
     # Two exactness-preserving short cuts (both inside this shared function,
     # so the oracle takes them identically):

@@ -85,3 +85,40 @@ def test_char_spans_offsets():
     classes = S.word_tags_to_char_classes(text, wt)
     assert S.char_spans(text, classes) == [(0, 11, "PER"), (21, 26, "ORG")]
     assert text[0:11] == "Alice Smith"
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_nospace_roundtrip_without_adjacent_same_class(seed):
+    """Repnospace: word→char→word identity holds when no two same-class
+    spans touch (the scheme's documented information limit)."""
+    rng = random.Random(seed + 500)
+    tags = random_bio(rng, rng.randint(1, 20))
+    sp = S.bio_spans(tags)
+    if any(a[1] == b[0] and a[2] == b[2] for a, b in zip(sp, sp[1:])):
+        return  # touching same-class spans — the documented lossy case
+    words = ["w%d" % rng.randint(0, 9) for _ in tags]
+    text = " ".join(words)
+    classes = S.word_tags_to_char_classes(text, tags, scheme="nospace")
+    # separator chars never carry a class under Repnospace
+    for i, ch in enumerate(text):
+        if ch == " ":
+            assert classes[i] == S.OUT
+    assert S.char_classes_to_word_tags(text, classes, scheme="nospace") == tags
+
+
+def test_nospace_merges_adjacent_same_class_spans():
+    """B-X B-X is indistinguishable from B-X I-X without space labels —
+    Repnospace decodes the merge (lossy by design); Repstd keeps them apart."""
+    text = "aa bb"
+    tags = ["B-PER", "B-PER"]
+    no = S.word_tags_to_char_classes(text, tags, scheme="nospace")
+    assert S.char_classes_to_word_tags(text, no, scheme="nospace") == ["B-PER", "I-PER"]
+    std = S.word_tags_to_char_classes(text, tags, scheme="std")
+    assert S.char_classes_to_word_tags(text, std, scheme="std") == tags
+
+
+def test_scheme_validation():
+    with pytest.raises(ValueError):
+        S.word_tags_to_char_classes("a", ["O"], scheme="bogus")
+    with pytest.raises(ValueError):
+        S.char_classes_to_word_tags("a", ["O"], scheme="bogus")

@@ -32,6 +32,9 @@ def main() -> int:
                     help="alias dictionary parquet; default: seeded fixture dictionary")
     ap.add_argument("--n-parts", type=int, default=16, help="resumable work units")
     ap.add_argument("--n-entities", type=int, default=500)
+    ap.add_argument("--weights-dir", default=None,
+                    help="dir of charner_<lang>.npz parameter files; "
+                         "default: deterministic seeded weights")
     ap.add_argument("--materialize-graph", action="store_true",
                     help="also write entities/ and edges/")
     args = ap.parse_args()
@@ -52,10 +55,24 @@ def main() -> int:
     else:
         alias_pdf = make_alias_table(args.n_entities, seed=42)
 
+    weights_map = None
+    if args.weights_dir:
+        import glob
+
+        from char_ner_spark.tagger import load_weights
+
+        weights_map = {
+            os.path.basename(p)[len("charner_"):-len(".npz")]: load_weights(p)
+            for p in sorted(glob.glob(os.path.join(args.weights_dir, "charner_*.npz")))
+        }
+        if not weights_map:
+            raise SystemExit(f"no charner_<lang>.npz files in {args.weights_dir}")
+
     pages = spark.read.parquet(args.pages)
     t0 = time.time()
     rows = lineage.run_partitioned(
-        spark, pages, alias_pdf, args.out, n_parts=args.n_parts
+        spark, pages, alias_pdf, args.out, n_parts=args.n_parts,
+        weights_map=weights_map,
     )
     if args.materialize_graph:
         out = run_pipeline(spark, pages.limit(0), alias_pdf)  # dict-side only
