@@ -82,25 +82,36 @@ def run_partitioned(
     n_parts: int = 4,
     fail_after: int | None = None,
     weights_map: dict | None = None,
+    max_inflight: int = 1,
 ) -> list[dict]:
     """Run the pipeline per work unit with resume. ``fail_after`` injects a
     crash after that many units (tests); ``weights_map`` (lang → params)
-    runs inference from stored weights. Returns manifest rows written."""
+    runs inference from stored weights. Returns manifest rows written.
+
+    ``max_inflight`` > 1 overlaps work units: up to that many units run as
+    concurrent Spark jobs (driver threads; Spark's scheduler interleaves
+    their stages), so the cluster never idles between a unit's final write
+    and the next unit's first scan — at K ~ 10k units the serial loop's
+    per-unit ramp-down/ramp-up gap is the dominant waste. Manifest append
+    and snapshot commit stay serialized under a lock (commit protocol is
+    still linear history); unit payloads are disjoint by construction
+    (pmod(xxhash64(url))), so data writes never race.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     from .pipeline import build_dictionary_state, run_pipeline
 
     os.makedirs(out_dir, exist_ok=True)
     done = completed_parts(spark, out_dir, "triples")
-    written: list[dict] = []
     staged = pages.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
     dict_state = build_dictionary_state(spark, alias_pdf)  # unit-invariant
-    units_run = 0
-    for pid in range(n_parts):
-        if pid in done:
-            continue
-        if fail_after is not None and units_run >= fail_after:
-            raise RuntimeError(f"injected failure before part {pid}")
+    commit_lock = threading.Lock()
+    written: list[dict] = []
+
+    def run_unit(pid: int) -> dict:
         slice_df = staged.filter(F.col("part_id") == pid).drop("part_id")
         obs = Observation(f"pages_in_{pid}")
         slice_df = slice_df.observe(obs, F.count(F.lit(1)).alias("rows_in"))
@@ -123,10 +134,23 @@ def run_partitioned(
             "checksum": checksum,
             "completed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         }
-        append_manifest(spark, out_dir, row)
-        write_snapshot(spark, out_dir, n_parts, schema_json=written_df.schema.json())
-        written.append(row)
-        units_run += 1
+        with commit_lock:
+            append_manifest(spark, out_dir, row)
+            write_snapshot(spark, out_dir, n_parts,
+                           schema_json=written_df.schema.json())
+            written.append(row)
+        return row
+
+    pending = [pid for pid in range(n_parts) if pid not in done]
+    if max_inflight <= 1 or fail_after is not None:
+        # serial path (and the only one where fail_after is well-defined)
+        for i, pid in enumerate(pending):
+            if fail_after is not None and i >= fail_after:
+                raise RuntimeError(f"injected failure before part {pid}")
+            run_unit(pid)
+    else:
+        with ThreadPoolExecutor(max_workers=max_inflight) as pool:
+            list(pool.map(run_unit, pending))  # re-raises the first failure
     if current_snapshot(out_dir) is None:  # all-done resume with no metadata yet
         write_snapshot(spark, out_dir, n_parts)
     return written

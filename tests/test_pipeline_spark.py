@@ -127,6 +127,37 @@ def test_resume_skips_completed_and_output_identical(spark, corpus):
         shutil.rmtree(d2, ignore_errors=True)
 
 
+def test_overlapped_units_identical_to_serial(spark, corpus):
+    """max_inflight=3 (concurrent Spark jobs from driver threads) writes the
+    same triples and per-unit checksums as the serial loop — overlap changes
+    scheduling only, never payload (units are disjoint by pmod(xxhash64))."""
+    from char_ner_spark import lineage
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        lineage.run_partitioned(spark, pages, alias, d1, n_parts=3)
+        rows = lineage.run_partitioned(
+            spark, pages, alias, d2, n_parts=3, max_inflight=3
+        )
+        assert sorted(r["part_id"] for r in rows) == [0, 1, 2]
+        m1 = {r.part_id: r.checksum for r in lineage.read_manifest(spark, d1).collect()}
+        m2 = {r.part_id: r.checksum for r in lineage.read_manifest(spark, d2).collect()}
+        assert m1 == m2
+        # snapshot metadata converged to the same completed set either way
+        assert lineage.current_snapshot(d2)["completed"] == [0, 1, 2]
+        t1 = lineage.read_triples(spark, d1).toPandas()
+        t2 = lineage.read_triples(spark, d2).toPandas()
+        key = ["subj", "pred", "obj", "url", "sent_idx", "part_id"]
+        assert sorted(map(tuple, t1[key].itertuples(index=False))) == sorted(
+            map(tuple, t2[key].itertuples(index=False))
+        )
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
 def test_connected_components_long_chain_converges(spark):
     """A diameter-60 chain: plain min-label propagation needs 60 rounds, the
     pointer-jumping step makes it converge well under max_iter (round-1

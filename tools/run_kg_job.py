@@ -35,6 +35,9 @@ def main() -> int:
     ap.add_argument("--weights-dir", default=None,
                     help="dir of charner_<lang>.npz parameter files; "
                          "default: deterministic seeded weights")
+    ap.add_argument("--max-inflight", type=int, default=1,
+                    help="work units overlapped as concurrent Spark jobs "
+                         "(>1 keeps the cluster busy across unit boundaries)")
     ap.add_argument("--materialize-graph", action="store_true",
                     help="also write entities/ and edges/")
     args = ap.parse_args()
@@ -72,7 +75,7 @@ def main() -> int:
     t0 = time.time()
     rows = lineage.run_partitioned(
         spark, pages, alias_pdf, args.out, n_parts=args.n_parts,
-        weights_map=weights_map,
+        weights_map=weights_map, max_inflight=args.max_inflight,
     )
     if args.materialize_graph:
         out = run_pipeline(spark, pages.limit(0), alias_pdf)  # dict-side only
