@@ -57,7 +57,7 @@ def ensure_corpus(spark, sf: float) -> tuple[str, object]:
 
 
 def main() -> int:
-    from char_ner_spark.driver_queries import SHARED_SQL, PAIRED_SQL, register_views
+    from char_ner_spark.driver_queries import build_queries, register_views
     from char_ner_spark.pipeline import run_pipeline
     from char_ner_spark.session import build_session
 
@@ -87,10 +87,10 @@ def main() -> int:
         "ngram_jaccard_pairs",
         "ann_dot_topk",
     ]
+    queries = build_queries()
     for name in headline:
-        sql = SHARED_SQL.get(name) or PAIRED_SQL[name][0]
         t0 = time.time()
-        spark.sql(sql).collect()
+        queries[name](spark, SF_DIR).collect()
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)

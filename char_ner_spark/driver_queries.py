@@ -257,43 +257,90 @@ _SESSIONIZE = """
     FROM g
 """
 
-# word-trigram shingle Jaccard near-dup pairs (e4 fixed-point, threshold 0.2).
-# Scale design (Spark side): tokens are split ONCE (Catalyst re-evaluates a
+# word-trigram shingle Jaccard near-dup pairs (e4 fixed-point, threshold 0.2):
+# see _fn_ngram_jaccard; tokens are split ONCE (Catalyst re-evaluates a
 # `split()` inside every lambda element access otherwise — measured 8× on the
-# shingle stage), and the quadratic self-join runs only over shingles with
-# document frequency ≤ 1000 (candidate generation); the Jaccard numerator is
-# then re-counted EXACTLY over all shingles of each candidate pair. A shingle
-# shared by k docs costs k² join rows, so boilerplate shingles (df in the
-# millions at Common-Crawl scale) must not reach the self-join; any true
-# near-dup pair sharing at least one sub-cap shingle is still found, and at
-# every test sf the max df (25 at sf0.1) is far under the cap ⇒ output is
-# bit-identical to the uncapped oracle definition.
-_NGRAM_JACCARD_SPARK = """
-    WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
-             i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-                            element_at(t, i + 2)))) AS shingle
-      FROM toks WHERE size(t) >= 3),
-    d AS (SELECT DISTINCT doc_id, shingle FROM sh),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
-    rare AS (SELECT shingle FROM d GROUP BY shingle HAVING COUNT(*) <= 1000),
-    dr AS (SELECT d.doc_id, d.shingle FROM d JOIN rare ON d.shingle = rare.shingle),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM dr a JOIN dr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-    common AS (
-      SELECT cand.doc_a, cand.doc_b, COUNT(*) AS cnt
-      FROM cand
-      JOIN d a ON a.doc_id = cand.doc_a
-      JOIN d b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
-      GROUP BY cand.doc_a, cand.doc_b)
-    SELECT doc_a, doc_b,
-           CAST(ROUND(cnt * 10000.0 / (sa.n + sb.n - cnt)) AS BIGINT) AS jaccard_e4
-    FROM common
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE cnt * 10000.0 / (sa.n + sb.n - cnt) >= 2000
-"""
+# shingle stage).
+def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard pairs, exact output, without the quadratic
+    re-count: the df-annotated (doc_id, shingle, df) set feeds several plan
+    branches, so it is materialized once (as a SQL CTE, Spark re-expands the
+    tokenize→explode→distinct chain per reference; at cluster scale this
+    becomes a checkpointed/bucketed temp table). The Jaccard numerator is
+    aggregated straight off the rare-shingle self-join (a shingle of
+    document frequency f contributes f² map-side-combined join rows — no
+    distinct-candidates + re-count pass); hot shingles (df > cap, the
+    Common-Crawl boilerplate tail) only enter an exact correction join for
+    pairs surviving an upper-bound prune (cnt_rare + min(hot_a, hot_b)
+    against the threshold) — identical results to the uncapped definition
+    whenever a qualifying pair shares ≥1 sub-cap shingle (guaranteed at
+    every test sf: max df 25)."""
+    register_views(spark, sf_dir)
+    dd = spark.sql(
+        """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+        sh AS (
+          SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
+                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                                element_at(t, i + 2)))) AS shingle
+          FROM toks WHERE size(t) >= 3),
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        df AS (SELECT shingle, COUNT(*) AS c FROM d GROUP BY shingle)
+        SELECT d.doc_id, d.shingle, df.c
+        FROM d JOIN df ON d.shingle = df.shingle"""
+    ).localCheckpoint()
+    dd.createOrReplaceTempView("nj_dd")
+    # rare-numerator + upper-bound prune, materialized (referenced twice
+    # below). localCheckpoint (not persist): truncating the lineage also
+    # sidesteps a Spark 4.1 InlineCTE re-resolution bug that fires when
+    # multiply-referenced CTEs stack over lazy nested view plans.
+    pruned = spark.sql(
+        """WITH dr AS (SELECT doc_id, shingle FROM nj_dd WHERE c <= 1000),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM nj_dd GROUP BY doc_id),
+        hot_sizes AS (SELECT doc_id, COUNT(*) AS nh FROM nj_dd
+                      WHERE c > 1000 GROUP BY doc_id),
+        common_rare AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+          FROM dr a JOIN dr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT cr.doc_a, cr.doc_b, cr.cnt, sa.n AS na, sb.n AS nb
+        FROM common_rare cr
+        JOIN sizes sa ON sa.doc_id = cr.doc_a
+        JOIN sizes sb ON sb.doc_id = cr.doc_b
+        LEFT JOIN hot_sizes ha ON ha.doc_id = cr.doc_a
+        LEFT JOIN hot_sizes hb ON hb.doc_id = cr.doc_b
+        WHERE (cr.cnt + LEAST(COALESCE(ha.nh, 0), COALESCE(hb.nh, 0))) * 10000.0
+              / (sa.n + sb.n - cr.cnt - LEAST(COALESCE(ha.nh, 0), COALESCE(hb.nh, 0)))
+              >= 2000"""
+    ).localCheckpoint()
+    pruned.createOrReplaceTempView("nj_pruned")
+    # hot correction merged via UNION ALL + re-aggregate rather than a
+    # LEFT JOIN: Spark 4.1's EliminateOuterJoin mis-converts
+    # "LEFT JOIN ... WHERE coalesce(right.col, 0)-expr >= k" to an inner
+    # join here (decimal-division nullability), silently dropping every
+    # pair without a hot-shingle match.
+    hot = spark.sql(
+        """WITH dh AS (SELECT doc_id, shingle FROM nj_dd WHERE c > 1000)
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS cnt
+        FROM nj_pruned p
+        JOIN dh a ON a.doc_id = p.doc_a
+        JOIN dh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY p.doc_a, p.doc_b"""
+    ).localCheckpoint()
+    hot.createOrReplaceTempView("nj_hot")
+    return spark.sql(
+        """WITH totals AS (
+          SELECT doc_a, doc_b, SUM(cnt) AS cnt, MAX(na) AS na, MAX(nb) AS nb
+          FROM (SELECT doc_a, doc_b, cnt, na, nb FROM nj_pruned
+                UNION ALL
+                SELECT doc_a, doc_b, cnt,
+                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                FROM nj_hot)
+          GROUP BY doc_a, doc_b)
+        SELECT doc_a, doc_b,
+               CAST(ROUND(cnt * 10000.0 / (na + nb - cnt)) AS BIGINT) AS jaccard_e4
+        FROM totals
+        WHERE cnt * 10000.0 / (na + nb - cnt) >= 2000"""
+    )
 
 _NGRAM_JACCARD_DUCK = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -439,7 +486,6 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
         _langid_sql(lambda pat: f"size(regexp_extract_all(text, '{pat}', 0))", "\\\\b"),
         _langid_sql(lambda pat: f"len(regexp_extract_all(text, '{pat}'))", "\\b"),
     ),
-    "ngram_jaccard_pairs": (_NGRAM_JACCARD_SPARK, _NGRAM_JACCARD_DUCK),
     # char-bigram counts — the shape of the reference's transition-matrix
     # estimation (SURVEY §2.4 A2: bigram counts → log-prob matrix)
     "char_bigram_counts": (
@@ -832,6 +878,7 @@ SPARK_FN: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pivot_operator_native": (_fn_pivot_operator, _PIVOT_DUCK_SQL),
     "approx_distinct_counts": (_fn_approx_distinct, _APPROX_DISTINCT_DUCK_SQL),
     "ann_lsh_topk": (_fn_ann_lsh_topk, None),
+    "ngram_jaccard_pairs": (_fn_ngram_jaccard, _NGRAM_JACCARD_DUCK),
 }
 
 
