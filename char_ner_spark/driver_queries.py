@@ -261,23 +261,24 @@ _SESSIONIZE = """
 # see _fn_ngram_jaccard; tokens are split ONCE (Catalyst re-evaluates a
 # `split()` inside every lambda element access otherwise — measured 8× on the
 # shingle stage).
-def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard pairs, exact output, without the quadratic
-    re-count: the df-annotated (doc_id, shingle, df) set feeds several plan
-    branches, so it is materialized once (as a SQL CTE, Spark re-expands the
-    tokenize→explode→distinct chain per reference; at cluster scale this
-    becomes a checkpointed/bucketed temp table). The Jaccard numerator is
-    aggregated straight off the rare-shingle self-join (a shingle of
-    document frequency f contributes f² map-side-combined join rows — no
-    distinct-candidates + re-count pass); hot shingles (df > cap, the
-    Common-Crawl boilerplate tail) only enter an exact correction join for
-    pairs surviving an upper-bound prune (cnt_rare + min(hot_a, hot_b)
-    against the threshold) — identical results to the uncapped definition
-    whenever a qualifying pair shares ≥1 sub-cap shingle (guaranteed at
-    every test sf: max df 25)."""
-    register_views(spark, sf_dir)
+def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
+                        df_cap: int = 1000,
+                        threshold_e4: int = 2000) -> DataFrame:
+    """Word-trigram Jaccard pairs (≥ ``threshold_e4``/1e4), exact output,
+    without the quadratic re-count: the df-annotated (doc_id, shingle, df)
+    set feeds several plan branches, so it is materialized once (as a SQL
+    CTE, Spark re-expands the tokenize→explode→distinct chain per reference;
+    at cluster scale this becomes a checkpointed/bucketed temp table). The
+    Jaccard numerator is aggregated straight off the rare-shingle self-join
+    (a shingle of document frequency f contributes f² map-side-combined join
+    rows — no distinct-candidates + re-count pass); hot shingles
+    (df > ``df_cap``, the Common-Crawl boilerplate tail) only enter an exact
+    correction join for pairs surviving an upper-bound prune
+    (cnt_rare + min(hot_a, hot_b) against the threshold) — identical results
+    to the uncapped definition whenever a qualifying pair shares ≥1 sub-cap
+    shingle (guaranteed at every test sf: max df 25)."""
     dd = spark.sql(
-        """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+        f"""WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM {docs_table}),
         sh AS (
           SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
                  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
@@ -294,10 +295,10 @@ def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sidesteps a Spark 4.1 InlineCTE re-resolution bug that fires when
     # multiply-referenced CTEs stack over lazy nested view plans.
     pruned = spark.sql(
-        """WITH dr AS (SELECT doc_id, shingle FROM nj_dd WHERE c <= 1000),
+        f"""WITH dr AS (SELECT doc_id, shingle FROM nj_dd WHERE c <= {df_cap}),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM nj_dd GROUP BY doc_id),
         hot_sizes AS (SELECT doc_id, COUNT(*) AS nh FROM nj_dd
-                      WHERE c > 1000 GROUP BY doc_id),
+                      WHERE c > {df_cap} GROUP BY doc_id),
         common_rare AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
           FROM dr a JOIN dr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -310,7 +311,7 @@ def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN hot_sizes hb ON hb.doc_id = cr.doc_b
         WHERE (cr.cnt + LEAST(COALESCE(ha.nh, 0), COALESCE(hb.nh, 0))) * 10000.0
               / (sa.n + sb.n - cr.cnt - LEAST(COALESCE(ha.nh, 0), COALESCE(hb.nh, 0)))
-              >= 2000"""
+              >= {threshold_e4}"""
     ).localCheckpoint()
     pruned.createOrReplaceTempView("nj_pruned")
     # hot correction merged via UNION ALL + re-aggregate rather than a
@@ -319,7 +320,7 @@ def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join here (decimal-division nullability), silently dropping every
     # pair without a hot-shingle match.
     hot = spark.sql(
-        """WITH dh AS (SELECT doc_id, shingle FROM nj_dd WHERE c > 1000)
+        f"""WITH dh AS (SELECT doc_id, shingle FROM nj_dd WHERE c > {df_cap})
         SELECT p.doc_a, p.doc_b, COUNT(*) AS cnt
         FROM nj_pruned p
         JOIN dh a ON a.doc_id = p.doc_a
@@ -328,7 +329,7 @@ def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     hot.createOrReplaceTempView("nj_hot")
     return spark.sql(
-        """WITH totals AS (
+        f"""WITH totals AS (
           SELECT doc_a, doc_b, SUM(cnt) AS cnt, MAX(na) AS na, MAX(nb) AS nb
           FROM (SELECT doc_a, doc_b, cnt, na, nb FROM nj_pruned
                 UNION ALL
@@ -339,8 +340,13 @@ def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_a, doc_b,
                CAST(ROUND(cnt * 10000.0 / (na + nb - cnt)) AS BIGINT) AS jaccard_e4
         FROM totals
-        WHERE cnt * 10000.0 / (na + nb - cnt) >= 2000"""
+        WHERE cnt * 10000.0 / (na + nb - cnt) >= {threshold_e4}"""
     )
+
+
+def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return ngram_jaccard_pairs(spark)
 
 _NGRAM_JACCARD_DUCK = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

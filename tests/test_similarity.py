@@ -68,3 +68,52 @@ def test_cosine_near_dups_finds_self_duplicates(spark, emb):
     dups = SIM.cosine_near_dups(allv, threshold=0.999).toPandas()
     got = {(r.vec_a, r.vec_b) for r in dups.itertuples()}
     assert {(0, 10000), (1, 10001), (2, 10002)} <= got
+
+
+def test_ngram_jaccard_hot_shingle_correction_exact(spark):
+    """With df_cap forced below real document frequencies, the hot-shingle
+    correction join must restore the exact uncapped Jaccard for every pair
+    that shares at least one sub-cap shingle (brute-force pandas oracle).
+    This is the only place the correction path carries weight — at the test
+    sfs no shingle exceeds the production cap, so it would otherwise be
+    dead code."""
+    import itertools
+
+    import pandas as pd
+
+    from char_ner_spark.driver_queries import ngram_jaccard_pairs
+
+    # 6 docs: "x y z" is a hot shingle (in all), plus per-group rare tails
+    docs = [
+        (0, "x y z a b c d e"),
+        (1, "x y z a b c d f"),   # near-dup of 0
+        (2, "x y z p q r s t"),
+        (3, "x y z p q r s u"),   # near-dup of 2
+        (4, "x y z m n o k1 k2 k3 k4"),
+        (5, "x y z w1 w2 w3 w4 w5 w6 w7"),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    sdf.createOrReplaceTempView("nj_test_docs")
+
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = inter / union
+        if j >= 0.2:
+            expect[(a, b)] = round(j * 10000)
+
+    # cap=2: "x y z" (df=6) and the group-shared shingles (df=2) split
+    # across rare/hot; every expected pair still shares >=1 rare shingle
+    got_df = ngram_jaccard_pairs(spark, "nj_test_docs", df_cap=2).toPandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard_e4 for r in got_df.itertuples()}
+    assert got == expect, (got, expect)
+
+    # sanity: the capped run really routed shingles through the hot path
+    hot_n = spark.table("nj_hot").count()
+    assert hot_n > 0
