@@ -6,9 +6,10 @@ CoNLL files are whitespace-separated columns, one token per line, first
 column = token, last column = NER tag, blank line = sentence boundary.
 The Spark mapping: read lines with ids → mark blanks → running-count window
 assigns sentence ids → group + collect_list reassembles sentences. The
-window runs per file-partition (url-style grouping would be per split file
-at scale; CoNLL corpora are small — this is a fidelity surface, not a hot
-path).
+window partitions by source FILE (sharded corpora parallelize across
+files; sentence ids are per-file, with the file path carried alongside) —
+only a single-file read degenerates to one window partition, which is the
+reference's own sequential-parse semantics.
 """
 
 from __future__ import annotations
@@ -21,7 +22,8 @@ from pyspark.sql import functions as F
 
 
 def read_conll(spark: SparkSession, path: str) -> DataFrame:
-    """CoNLL text file(s) → (sent_id, tokens array<string>, tags array<string>).
+    """CoNLL text file(s) → (file, sent_id, tokens array<string>,
+    tags array<string>); ``sent_id`` counts per file.
 
     Mirrors the reference's get_sents: col0 = token, last col = tag,
     blank line ends a sentence; '-DOCSTART-' lines are dropped
@@ -29,23 +31,25 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     lines = (
         spark.read.text(path)
         .select(
+            F.input_file_name().alias("file"),
             F.monotonically_increasing_id().alias("line_id"),
             F.trim(F.col("value")).alias("line"),
         )
     )
-    w = Window.orderBy("line_id")
+    w = Window.partitionBy("file").orderBy("line_id")
     sents = (
         lines.withColumn("is_blank", (F.col("line") == "").cast("int"))
         .withColumn("sent_id", F.sum("is_blank").over(w))
         .filter((F.col("is_blank") == 0) & ~F.col("line").startswith("-DOCSTART-"))
         .withColumn("cols", F.split("line", r"\s+"))
-        .groupBy("sent_id")
+        .groupBy("file", "sent_id")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("line_id", "cols"))
             ).alias("rows")
         )
         .select(
+            "file",
             "sent_id",
             F.expr("transform(rows, r -> r.cols[0])").alias("tokens"),
             F.expr("transform(rows, r -> element_at(r.cols, -1))").alias("tags"),

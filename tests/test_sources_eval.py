@@ -88,3 +88,29 @@ def test_end_to_end_tagger_scored_on_conll_fixture(spark, conll):
     # what the detector owes us. Check untyped span recovery via tp+misses:
     assert res["ALL"].tp + res["ALL"].fn == 80  # every gold span accounted
     assert res["ALL"].tp >= 15  # hash types agree ≥ chance (1/4) on 80 spans
+
+def test_read_conll_sharded_dir_parallel_windows(spark):
+    """A directory of shard files: sentence reassembly is per file (the
+    window partitions by source file — no global single-partition sort),
+    and every shard's sentences parse back exactly."""
+    d = tempfile.mkdtemp()
+    expected = {}
+    for shard in range(3):
+        p = os.path.join(d, f"part-{shard}.conll")
+        expected[f"part-{shard}.conll"] = write_conll_fixture(
+            p, n_sents=20, seed=100 + shard
+        )
+    got = read_conll(spark, d).toPandas()
+    assert len(got) == 60
+    got["base"] = got.file.map(lambda f: f.rsplit("/", 1)[-1])
+    for base, grp in got.groupby("base"):
+        grp = grp.sort_values("sent_id")
+        want = expected[base]
+        assert [list(t) for t in grp.tokens] == [list(t) for t in want.tokens]
+        assert [list(t) for t in grp.tags] == [list(t) for t in want.tags]
+    # per-file window: the physical plan must not contain an
+    # all-to-one-partition window (empty partition spec)
+    plan = read_conll(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re
+    assert not re.search(r"Window .*partitionBy=\[\]", plan)
