@@ -260,9 +260,14 @@ def link_mentions(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> Da
     skew-salted by construction since hot surfaces are one row here) maps
     the result back onto the mention stream. Exact matches use a broadcast
     hash join; the rest go through the banded MinHash-LSH join."""
-    best = best_links(mentions.select("surface").distinct(), alias_tables)
-    m = mentions.withColumn("surface_norm", _norm_col(F.col("surface")))
-    return m.join(F.broadcast(best), "surface_norm", "left").drop("surface_norm")
+    surfaces = mentions.select("surface").distinct().localCheckpoint()
+    best = best_links(surfaces, alias_tables)
+    raw_map = (
+        surfaces.withColumn("surface_norm", _norm_col(F.col("surface")))
+        .join(best, "surface_norm", "inner")
+        .select("surface", "entity_id", "link_score")
+    )
+    return mentions.join(F.broadcast(raw_map), "surface", "left")
 
 
 def best_links(surfaces: DataFrame, alias_tables: dict[str, DataFrame]) -> DataFrame:
@@ -354,36 +359,45 @@ def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
 def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame],
                alias_pdf: pd.DataFrame | None = None) -> DataFrame:
     """Link each mention AND its sentence-adjacent successor in one pass:
-    two broadcast joins against the per-surface winner table — no shuffle
-    of the mention stream at all. With ``alias_pdf`` (broadcast-sized
-    dictionary, the north_rule default) winners come from the one-stage
-    AliasIndex probe; otherwise from the distributed LSH join."""
+    two broadcast joins against a RAW-surface winner table — no shuffle of
+    the mention stream, and (critically) no normalization of it either.
+    Surface normalization (3 regex passes) runs only on the DISTINCT raw
+    surfaces — Zipf-deduped, orders of magnitude smaller than the mention
+    stream; measured 8.3s of the 400k-page run at local[8] (and worse, it
+    was the scaling anchor: Java-regex pointer chasing saturates shared
+    cache, so it sped up only 2x from 2→8 cores while the tagger did 3.6x)
+    when applied per-mention. The mention joins hash raw strings instead.
+    With ``alias_pdf`` (broadcast-sized dictionary, the north_rule default)
+    winners come from the one-stage AliasIndex probe; otherwise from the
+    distributed LSH join."""
     surfaces = mentions.select("surface").union(
         mentions.select(F.col("next_surface").alias("surface")).filter(
             F.col("next_surface").isNotNull()
         )
     ).distinct()
+    surfaces = surfaces.localCheckpoint()  # feeds the probe AND the raw map
     if alias_pdf is not None:
         best = best_links_broadcast(mentions.sparkSession, surfaces, alias_pdf)
     else:
         best = best_links(surfaces, alias_tables)
-    best = best.localCheckpoint()  # materialize ONCE — it feeds two broadcast
-    # joins, and broadcasting a plan re-executes it per join otherwise
-    m = (
-        mentions.withColumn("surface_norm", _norm_col(F.col("surface")))
-        .withColumn("next_surface_norm", _norm_col(F.col("next_surface")))
-    )
+    # per-NORM winners → per-RAW-surface winners, all on the tiny distinct
+    # set; two raw surfaces sharing a normal form both pick up its winner
+    raw_map = (
+        surfaces.withColumn("surface_norm", _norm_col(F.col("surface")))
+        .join(best, "surface_norm", "inner")
+        .select("surface", "entity_id", "link_score")
+    ).localCheckpoint()  # materialize ONCE — it feeds two broadcast joins,
+    # and broadcasting a plan re-executes it per join otherwise
     nxt = F.broadcast(
-        best.select(
-            F.col("surface_norm").alias("next_surface_norm"),
+        raw_map.select(
+            F.col("surface").alias("next_surface"),
             F.col("entity_id").alias("next_entity"),
             F.col("link_score").alias("next_score"),
         )
     )
     return (
-        m.join(F.broadcast(best), "surface_norm", "left")
-        .join(nxt, "next_surface_norm", "left")
-        .drop("surface_norm", "next_surface_norm")
+        mentions.join(F.broadcast(raw_map), "surface", "left")
+        .join(nxt, "next_surface", "left")
     )
 
 
