@@ -717,23 +717,116 @@ def _fn_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column pipeline on the deterministic media fixture
-    (decode stubbed per sandbox; plumbing real; rows-only). The 16-dim
-    feature is projected to an e4 fixed-point string (no array outputs)."""
-    from pyspark.sql import functions as F
+    """Multimodal binary-column pipeline (SURVEY §2.11; decode stubbed per
+    sandbox, plumbing real). The fixture is staged as parquet so DuckDB can
+    read the same bytes; the Spark side runs the production media helpers
+    (fake decode → resize → byte-histogram feature) inside mapInPandas and
+    emits integer-exact columns the oracle recomputes from the raw payload:
+    payload_hex proves the binary column crossed Arrow byte-identically,
+    hist16 is the un-normalized feature histogram, thumb dims come from the
+    actual resized array. The float32 feature + sha256 surface is covered in
+    tests/test_multimodal.py (float normalization isn't reproducible
+    bit-exactly in double-precision SQL, so it stays out of the hash)."""
+    import binascii
+    from collections.abc import Iterator
 
-    from .multimodal import MEDIA_SCHEMA, extract_media_features, make_media_fixture
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .multimodal import decode_image, resize_image
 
     register_views(spark, sf_dir)
-    media = spark.createDataFrame(make_media_fixture(96, seed=42), schema=MEDIA_SCHEMA)
-    feats = extract_media_features(media)
-    return feats.select(
-        "media_id", "kind", "n_bytes", "sha256",
-        F.expr(
-            "concat_ws(',', transform(feature, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)))"
-        ).alias("feature_e4"),
-        "thumb_w", "thumb_h",
+    media = spark.read.parquet(_media_fixture_path())
+
+    verify_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("hist16", T.StringType()),
+            T.StructField("payload_hex", T.StringType()),
+            T.StructField("thumb_w", T.IntegerType()),
+            T.StructField("thumb_h", T.IntegerType()),
+        ]
     )
+
+    def verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in verify_schema.fields}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16)
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(kind)
+                rows["n_bytes"].append(len(b))
+                rows["hist16"].append(",".join(str(int(x)) for x in hist))
+                rows["payload_hex"].append(binascii.hexlify(b).decode())
+                if kind == "image":
+                    thumb = resize_image(decode_image(b, fake=True), 8, 8)
+                    rows["thumb_w"].append(int(thumb.shape[1]))
+                    rows["thumb_h"].append(int(thumb.shape[0]))
+                else:
+                    rows["thumb_w"].append(None)
+                    rows["thumb_h"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        verify_batches, schema=verify_schema
+    )
+
+
+def _media_fixture_path() -> str:
+    """Stage the deterministic media fixture as a parquet file both engines
+    read (Spark via spark.read.parquet, DuckDB via read_parquet)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .multimodal import make_media_fixture
+
+    path = os.path.join(tempfile.gettempdir(), "char_ner_spark_media_fixture.parquet")
+    if not os.path.exists(path):
+        pdf = make_media_fixture(96, seed=42)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return path
+
+
+def _media_duck_sql() -> str:
+    """Lazy oracle: recompute n_bytes / high-nibble histogram / payload hex
+    straight from the staged parquet bytes (hex-digit trick: the high nibble
+    of byte j is hex char 2j+1), thumb dims from the media kind contract."""
+    path = _media_fixture_path()
+    return f"""
+    WITH m AS (
+        SELECT media_id, kind, payload, lower(hex(payload)) AS h
+        FROM read_parquet('{path}')),
+    idx AS (
+        SELECT media_id, h,
+               unnest(range(1, CAST(octet_length(payload) AS BIGINT) + 1)) AS i
+        FROM m),
+    digits AS (
+        SELECT media_id,
+               strpos('0123456789abcdef', substring(h, CAST(2*i - 1 AS INTEGER), 1)) - 1 AS v
+        FROM idx),
+    counts AS (SELECT media_id, v, COUNT(*) AS n FROM digits GROUP BY media_id, v),
+    bins AS (
+        SELECT m.media_id, b.v AS v, COALESCE(c.n, 0) AS n
+        FROM m CROSS JOIN (SELECT unnest(range(0, 16)) AS v) b
+        LEFT JOIN counts c ON c.media_id = m.media_id AND c.v = b.v),
+    hists AS (
+        SELECT media_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY v) AS hist16
+        FROM bins GROUP BY media_id)
+    SELECT m.media_id, m.kind,
+           CAST(octet_length(m.payload) AS BIGINT) AS n_bytes,
+           hists.hist16, m.h AS payload_hex,
+           CASE WHEN m.kind = 'image' THEN 8 END AS thumb_w,
+           CASE WHEN m.kind = 'image' THEN 8 END AS thumb_h
+    FROM m JOIN hists ON m.media_id = hists.media_id
+    """
 
 
 def _conll_fixture_path() -> str:
@@ -749,8 +842,10 @@ def _conll_fixture_path() -> str:
 
 def _fn_conll_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's CoNLL input format through the Spark reader
-    (SURVEY §2.1 S1; rows-only — deterministic fixture file). Token/tag
-    arrays are projected to space-joined strings (canonicalizer-safe)."""
+    (SURVEY §2.1 S1; deterministic fixture file). Token/tag arrays are
+    projected to space-joined strings (canonicalizer-safe). Oracled: the
+    DuckDB side re-parses the same file from scratch (read_text + window
+    segmentation), so the whole parse path is hash-checked."""
     from .sources import read_conll
 
     register_views(spark, sf_dir)
@@ -759,6 +854,36 @@ def _fn_conll_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat_ws(' ', tokens) AS tokens_str",
         "concat_ws(' ', tags) AS tags_str",
     )
+
+
+def _conll_duck_sql() -> str:
+    """Lazy oracle: ensures the fixture file exists, then returns DuckDB SQL
+    that re-implements the CoNLL parse (blank-line sentence segmentation via
+    a running-count window, col0 = token, last col = tag, -DOCSTART- rows
+    dropped) directly over the text file."""
+    path = _conll_fixture_path()
+    return f"""
+    WITH raw AS (
+        SELECT unnest(string_split(content, chr(10))) AS line,
+               generate_subscripts(string_split(content, chr(10)), 1) AS line_id
+        FROM read_text('{path}')),
+    marked AS (
+        SELECT trim(line) AS line, line_id,
+               CASE WHEN trim(line) = '' THEN 1 ELSE 0 END AS is_blank
+        FROM raw),
+    numbered AS (
+        SELECT line, line_id, is_blank,
+               SUM(is_blank) OVER (ORDER BY line_id) AS sent_id
+        FROM marked),
+    toks AS (
+        SELECT sent_id, line_id, regexp_split_to_array(line, '\\s+') AS cols
+        FROM numbered
+        WHERE is_blank = 0 AND NOT starts_with(line, '-DOCSTART-'))
+    SELECT CAST(sent_id AS BIGINT) AS sent_id,
+           string_agg(cols[1], ' ' ORDER BY line_id) AS tokens_str,
+           string_agg(cols[-1], ' ' ORDER BY line_id) AS tags_str
+    FROM toks GROUP BY sent_id
+    """
 
 
 def _fn_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,7 +996,10 @@ _STREAMING_DUCK_SQL = """
 """
 
 
-SPARK_FN: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+SPARK_FN: dict[
+    str,
+    tuple[Callable[[SparkSession, str], DataFrame], str | Callable[[], str] | None],
+] = {
     "kg_triples_fixture": (_fn_kg_triples, None),
     "kg_mentions_fixture": (_fn_kg_mentions, None),
     "streaming_window_counts": (_fn_streaming_window_counts, _STREAMING_DUCK_SQL),
@@ -879,8 +1007,8 @@ SPARK_FN: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "connected_components_graph": (_fn_connected_components, _CC_DUCK_SQL),
     "minhash_dedup_buckets": (_fn_minhash_dedup, None),
     "simhash_documents": (_fn_simhash_documents, None),
-    "media_features_fixture": (_fn_media_features, None),
-    "conll_reader_fixture": (_fn_conll_reader, None),
+    "media_features_fixture": (_fn_media_features, _media_duck_sql),
+    "conll_reader_fixture": (_fn_conll_reader, _conll_duck_sql),
     "pivot_operator_native": (_fn_pivot_operator, _PIVOT_DUCK_SQL),
     "approx_distinct_counts": (_fn_approx_distinct, _APPROX_DISTINCT_DUCK_SQL),
     "ann_lsh_topk": (_fn_ann_lsh_topk, None),
@@ -919,7 +1047,9 @@ def build_oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, (_, duck_sql) in SPARK_FN.items():
         if duck_sql is not None:
-            out[name] = duck_sql
+            # lazy oracles (callables) stage their fixture file on disk
+            # before returning SQL that reads it
+            out[name] = duck_sql() if callable(duck_sql) else duck_sql
     for name, (_, duck_sql) in PAIRED_SQL.items():
         out[name] = duck_sql
     out.update(SHARED_SQL)
