@@ -703,17 +703,27 @@ _APPROX_DISTINCT_DUCK_SQL = """
 
 
 def _fn_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-k (scale path; rows-only)."""
+    """Approximate cosine top-k through BOTH scale paths (rows-only):
+    hyperplane LSH buckets + multiprobe, and IVF cell-probe (spherical
+    k-means coarse quantizer). Exactness of each vs brute force is pinned
+    in tests/test_similarity.py; this query evidences the distributed
+    plumbing of both on the driver's embeddings table."""
     from pyspark.sql import functions as F
 
-    from .similarity import lsh_topk
+    from .similarity import ivf_topk, lsh_topk
 
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=10, multiprobe=3)
+    lsh = lsh_topk(emb, queries, k=10, multiprobe=3).withColumn(
+        "method", F.lit("lsh")
+    )
+    ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).withColumn(
+        "method", F.lit("ivf")
+    )
+    return lsh.unionByName(ivf)
 
 
 def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

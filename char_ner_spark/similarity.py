@@ -131,6 +131,104 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    seed: int = 20160731,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF, trained driver-side on a
+    deterministic sample (ordered by vec_id — at 10^9+ vectors swap in
+    ``.sample(fraction, seed)``; the trainer only ever sees ``sample`` rows
+    either way). Returns L2-normalized centroids (nlist, dim): assignment by
+    max dot against normalized centroids == max cosine, no per-row norms."""
+    pdf = vectors.select("vec_id", "embedding").orderBy("vec_id").limit(sample).toPandas()
+    X = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        a = np.argmax(X @ Cn.T, axis=1)
+        for j in range(C.shape[0]):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return (C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)).astype(
+        np.float64
+    )
+
+
+def _cell_col(centroids: np.ndarray):
+    """Arrow-vectorized nearest-centroid id: one GEMM per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.T.copy()  # (dim, nlist)
+
+    @pandas_udf("int")
+    def _cell(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(X @ C, axis=1).astype(np.int32))
+
+    return _cell(F.col("embedding"))
+
+
+def _probe_cells_col(centroids: np.ndarray, nprobe: int):
+    """Top-``nprobe`` nearest cells per query vector (recall knob)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.T.copy()
+    np_ = min(nprobe, centroids.shape[0])
+
+    @pandas_udf("array<int>")
+    def _probe(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        order = np.argsort(-(X @ C), axis=1)[:, :np_].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _probe(F.col("embedding"))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k — the partition-pruned scale path
+    complementing ``lsh_topk``: vectors are assigned to their nearest
+    coarse-quantizer cell (a narrow map, no shuffle), queries probe their
+    ``nprobe`` nearest cells, and exact cosine runs only inside probed
+    cells. With ``nprobe == nlist`` the result equals ``cosine_topk``
+    exactly. At cluster scale the vector side is written partitioned/
+    bucketed by ``cell`` so a probe reads nprobe/nlist of the data
+    (partition pruning), and the tiny query side broadcasts."""
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, nlist=nlist)
+    v = vectors.select("vec_id", "embedding").withColumn("cell", _cell_col(centroids))
+    q = (
+        queries.select("query_id", "embedding")
+        .withColumn("cell", F.explode(_probe_cells_col(centroids, nprobe)))
+        .withColumnRenamed("embedding", "q_embedding")
+    )
+    cand = v.join(F.broadcast(q), "cell")
+    scored = cand.selectExpr(
+        "query_id", "vec_id", _cosine_expr("embedding", "q_embedding") + " AS cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def cosine_near_dups(vectors: DataFrame, threshold: float = 0.95,
                      bits: int = 6) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ θ),

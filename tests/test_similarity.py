@@ -117,3 +117,39 @@ def test_ngram_jaccard_hot_shingle_correction_exact(spark):
     # sanity: the capped run really routed shingles through the hot path
     hot_n = spark.table("nj_hot").count()
     assert hot_n > 0
+
+
+def test_ivf_full_probe_equals_exact(emb, queries):
+    """nprobe == nlist must recover brute-force cosine_topk exactly."""
+    exact = SIM.cosine_topk(emb, queries, k=10).toPandas()
+    ivf = SIM.ivf_topk(emb, queries, k=10, nlist=8, nprobe=8).toPandas()
+    key = ["query_id", "rk"]
+    a = exact.sort_values(key).reset_index(drop=True)
+    b = ivf.sort_values(key).reset_index(drop=True)
+    assert a[["query_id", "vec_id", "rk"]].equals(b[["query_id", "vec_id", "rk"]])
+    assert (a.cosine - b.cosine).abs().max() < 1e-9
+
+
+def test_ivf_pruned_probe_recall(emb, queries):
+    """nprobe < nlist prunes cells; recall must beat the cell base rate and
+    every returned pair must carry the true cosine."""
+    exact = SIM.cosine_topk(emb, queries, k=10).toPandas()
+    ivf = SIM.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    i = {(r.query_id, r.vec_id) for r in ivf.itertuples()}
+    recall = len(e & i) / len(e)
+    assert recall >= 0.5, recall  # probing 1/4 of cells, near vectors cluster
+    exact_all = {(r.query_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    for r in ivf.itertuples():
+        if (r.query_id, r.vec_id) in exact_all:
+            assert abs(exact_all[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_ivf_centroids_deterministic(emb):
+    import numpy as np
+
+    c1 = SIM.kmeans_centroids(emb, nlist=8)
+    c2 = SIM.kmeans_centroids(emb, nlist=8)
+    assert np.array_equal(c1, c2)
+    # normalized rows
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
