@@ -51,6 +51,66 @@ def streamed_mentions(pages_stream: DataFrame, salt: int = 16) -> DataFrame:
     )
 
 
+def dedup_pages_stream(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on url (SURVEY §2.10): state is bounded by
+    the event-time watermark, so at Common-Crawl scale the dedup store holds
+    one watermark-window of urls, not the full history."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
+def sessionize_stream(
+    events_stream: DataFrame, gap_s: int = 1800
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user session
+    counting with a ``gap_s`` inactivity gap, state carried across
+    micro-batches (the streaming twin of the batch ``sessionize_events``
+    contract query). Emits (user_id, n_sessions, last_ts) per group per
+    batch; the latest row per user is the running total.
+
+    State is (last_ts, n_sessions) — 16 bytes per user, partitioned by the
+    groupBy key, so a 10^9-user stream shards state across executors and
+    each micro-batch only touches the users present in it."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("last_ts", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_ts, n = state.get if state.exists else (None, 0)
+        ts_all = pd.concat([pdf["ts_epoch"] for pdf in pdfs]).sort_values()
+        for ts in ts_all:
+            ts = int(ts)
+            if last_ts is None or ts - last_ts > gap_s:
+                n += 1
+            last_ts = ts
+        state.update((last_ts, n))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n], "last_ts": [last_ts]}
+        )
+
+    ev = events_stream.select(
+        "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_epoch")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,

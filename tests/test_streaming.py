@@ -94,3 +94,90 @@ def test_stream_exactly_once_on_restart(spark, pages_dir):
     finally:
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sessionize_stream_state_across_microbatches(spark):
+    """applyInPandasWithState sessionizer: two time-ordered files stream as
+    two micro-batches (maxFilesPerTrigger=1); per-user session totals must
+    equal the batch gap-sessionization — i.e. state genuinely carries the
+    last-event time across the batch boundary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    rows = []
+    t0 = 1_700_000_000
+    for uid in range(6):
+        t = t0 + uid
+        for _ in range(40):
+            t += int(rng.choice([60, 300, 2400], p=[0.6, 0.3, 0.1]))
+            rows.append((uid, t))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_epoch"])
+    pdf["ts"] = pd.to_datetime(pdf.ts_epoch, unit="s")
+    cut = pdf.ts_epoch.quantile(0.5)
+    d = tempfile.mkdtemp()
+    ck = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "events")
+        sdf = spark.createDataFrame(pdf[["user_id", "ts"]])
+        # two files, strictly time-split → micro-batch 2 is entirely later
+        sdf.filter(pdf_cut_expr(cut)).coalesce(1).write.mode("overwrite").parquet(src)
+        sdf.filter(~pdf_cut_expr(cut)).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        res = ST.run_stream_to_memory(
+            spark, ST.sessionize_stream(stream, gap_s=1800), "sess_stream", ck
+        ).toPandas()
+        # ≥2 emissions per user proves multiple micro-batches ran
+        assert res.groupby("user_id").size().min() >= 2
+        got = res.sort_values("last_ts").groupby("user_id").n_sessions.last()
+        batch = (
+            spark.read.parquet(src)
+            .select("user_id", F.unix_timestamp("ts").alias("e"))
+            .toPandas()
+            .sort_values(["user_id", "e"])
+        )
+        for uid, g in batch.groupby("user_id"):
+            n = (g.e.diff().fillna(1e9) > 1800).sum()
+            assert got[uid] == n, (uid, got[uid], n)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def pdf_cut_expr(cut):
+    from pyspark.sql import functions as F
+
+    return F.unix_timestamp("ts") <= int(cut)
+
+
+def test_dedup_pages_stream_across_microbatches(spark, pages_dir):
+    """withWatermark + dropDuplicates(url): re-streaming the same pages dir
+    twice (two files of identical urls) yields each url once."""
+    d = tempfile.mkdtemp()
+    ck = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "dup_pages")
+        batch = spark.read.parquet(pages_dir)
+        batch.coalesce(1).write.mode("overwrite").parquet(src)
+        batch.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        res = ST.run_stream_to_memory(
+            spark, ST.dedup_pages_stream(stream).select("url"), "dedup_stream", ck
+        ).toPandas()
+        n_urls = batch.select("url").distinct().count()
+        assert len(res) == n_urls
+        assert res.url.is_unique
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
