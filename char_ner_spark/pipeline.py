@@ -571,13 +571,38 @@ def edges_from_triples(triples: DataFrame) -> DataFrame:
 
 
 def build_dictionary_state(
-    spark: SparkSession, alias_pdf: pd.DataFrame
+    spark: SparkSession,
+    alias_pdf: pd.DataFrame,
+    cc_distributed_threshold: int = 1_000_000,
 ) -> dict[str, DataFrame]:
     """Unit-invariant dictionary-side state: alias join tables + canonical
     map. Built once and shared across work units / scaling runs (the page
-    stream scales with the corpus; this scales with the dictionary)."""
+    stream scales with the corpus; this scales with the dictionary).
+
+    Canonicalization dispatches by dictionary size, same adaptive rule as
+    the link join: a broadcast-sized alias table (it is literally broadcast
+    for linking) canonicalizes with driver-side union-find in milliseconds,
+    while the iterative Spark CC — ~6s of fixed scheduling latency for its
+    join/agg rounds regardless of data size — is reserved for dictionaries
+    past ``cc_distributed_threshold`` rows. Both paths are parity-tested
+    (test_canonical_map_matches_union_find runs them against each other)."""
+    from .linking import union_find_canonical
+
     alias_tables = alias_spark_tables(spark, alias_pdf)
-    canon = canonical_map(spark.createDataFrame(alias_pdf))
+    if len(alias_pdf) <= cc_distributed_threshold:
+        canon_map = union_find_canonical(alias_pdf)
+        items = sorted(canon_map.items())
+        canon = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "entity_id": [k for k, _ in items],
+                    "canonical_id": [v for _, v in items],
+                }
+            ),
+            schema="entity_id long, canonical_id long",
+        )
+    else:
+        canon = canonical_map(spark.createDataFrame(alias_pdf))
     return {**alias_tables, "canon": canon}
 
 

@@ -70,6 +70,22 @@ def test_canonical_map_matches_union_find(spark_out, corpus):
     assert got == want
 
 
+def test_distributed_cc_path_matches_union_find(spark, corpus):
+    """build_dictionary_state takes the union-find shortcut for broadcast-
+    sized dictionaries; force the distributed CC path (threshold 0) and
+    check it produces the identical canonical map."""
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    alias, _ = corpus
+    want = union_find_canonical(alias)
+    canon = (
+        build_dictionary_state(spark, alias, cc_distributed_threshold=0)["canon"]
+        .toPandas()
+    )
+    got = dict(zip(canon.entity_id, canon.canonical_id))
+    assert got == want
+
+
 def test_edges_graph_shape(spark_out):
     e = spark_out["edges"]
     assert set(e.columns) == {"src", "dst", "rel", "weight"}
