@@ -144,7 +144,8 @@ Environment: single 32-core host, Spark local mode, separate JVM per run via
 executors** (no real cluster in this environment; documented per driver
 instruction). Input: {n_pages} deterministic fixture pages
 (FIXTURES.md §1), identical parquet input for both runs. Timing covers the
-full pipeline (tag → link → canonicalize → triples), best of {repeats} runs
+full pipeline (tag → link → canonicalize → triples), best of
+{len(all_runs[SCALES[0]])} accumulated runs per scale
 (host capacity fluctuates; see load-average note in PROGRESS).
 
 | parallelism | pages | triples | sec | triples/sec | pages/sec |
