@@ -272,3 +272,27 @@ def test_pipeline_from_saved_weights_bitwise_equal(spark, corpus):
         )
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
+
+
+def test_salted_repartition_defuses_domain_skew(spark):
+    """north_rule: 'salted repartitioning to defuse host/domain skew'.
+    A corpus where 90% of urls share one domain and one lang must still
+    spread near-uniformly across partitions (url-hash salt is unbounded,
+    so hot domains cannot concentrate)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from char_ner_spark.pipeline import _salted_repartition
+
+    rows = []
+    for i in range(4000):
+        dom = "hot.example.org" if i % 10 else f"cold{i}.example.net"
+        rows.append((f"https://{dom}/p/{i}", f"text {i}", "de" if i % 10 else "en"))
+    pdf = pd.DataFrame(rows, columns=["url", "text", "lang"])
+    df = _salted_repartition(spark.createDataFrame(pdf), salt=16)
+    sizes = (
+        df.groupBy(F.spark_partition_id().alias("pid")).count().toPandas()["count"]
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert len(sizes) == n_part  # every partition non-empty
+    assert sizes.max() / sizes.mean() < 1.5, sizes.describe()
