@@ -261,6 +261,9 @@ _SESSIONIZE = """
 # see _fn_ngram_jaccard; tokens are split ONCE (Catalyst re-evaluates a
 # `split()` inside every lambda element access otherwise — measured 8× on the
 # shingle stage).
+_NJ_CALL_SEQ = 0
+
+
 def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
                         df_cap: int = 1000,
                         threshold_e4: int = 2000) -> DataFrame:
@@ -277,6 +280,13 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
     (cnt_rare + min(hot_a, hot_b) against the threshold) — identical results
     to the uncapped definition whenever a qualifying pair shares ≥1 sub-cap
     shingle (guaranteed at every test sf: max df 25)."""
+    # per-call view namespace: a fixed "nj_*" prefix would make concurrent
+    # or repeated invocations (different docs_table args, overlapped driver
+    # threads) clobber each other's intermediates mid-plan; views are
+    # dropped after the final plan resolves (Spark analyzes eagerly)
+    global _NJ_CALL_SEQ
+    _NJ_CALL_SEQ += 1
+    v = f"nj{_NJ_CALL_SEQ}"
     dd = spark.sql(
         f"""WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM {docs_table}),
         sh AS (
@@ -289,15 +299,15 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
         SELECT d.doc_id, d.shingle, df.c
         FROM d JOIN df ON d.shingle = df.shingle"""
     ).localCheckpoint()
-    dd.createOrReplaceTempView("nj_dd")
+    dd.createOrReplaceTempView(f"{v}_dd")
     # rare-numerator + upper-bound prune, materialized (referenced twice
     # below). localCheckpoint (not persist): truncating the lineage also
     # sidesteps a Spark 4.1 InlineCTE re-resolution bug that fires when
     # multiply-referenced CTEs stack over lazy nested view plans.
     pruned = spark.sql(
-        f"""WITH dr AS (SELECT doc_id, shingle FROM nj_dd WHERE c <= {df_cap}),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM nj_dd GROUP BY doc_id),
-        hot_sizes AS (SELECT doc_id, COUNT(*) AS nh FROM nj_dd
+        f"""WITH dr AS (SELECT doc_id, shingle FROM {v}_dd WHERE c <= {df_cap}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM {v}_dd GROUP BY doc_id),
+        hot_sizes AS (SELECT doc_id, COUNT(*) AS nh FROM {v}_dd
                       WHERE c > {df_cap} GROUP BY doc_id),
         common_rare AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
@@ -313,35 +323,40 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
               / (sa.n + sb.n - cr.cnt - LEAST(COALESCE(ha.nh, 0), COALESCE(hb.nh, 0)))
               >= {threshold_e4}"""
     ).localCheckpoint()
-    pruned.createOrReplaceTempView("nj_pruned")
+    pruned.createOrReplaceTempView(f"{v}_pruned")
     # hot correction merged via UNION ALL + re-aggregate rather than a
     # LEFT JOIN: Spark 4.1's EliminateOuterJoin mis-converts
     # "LEFT JOIN ... WHERE coalesce(right.col, 0)-expr >= k" to an inner
     # join here (decimal-division nullability), silently dropping every
     # pair without a hot-shingle match.
     hot = spark.sql(
-        f"""WITH dh AS (SELECT doc_id, shingle FROM nj_dd WHERE c > {df_cap})
+        f"""WITH dh AS (SELECT doc_id, shingle FROM {v}_dd WHERE c > {df_cap})
         SELECT p.doc_a, p.doc_b, COUNT(*) AS cnt
-        FROM nj_pruned p
+        FROM {v}_pruned p
         JOIN dh a ON a.doc_id = p.doc_a
         JOIN dh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
         GROUP BY p.doc_a, p.doc_b"""
     ).localCheckpoint()
-    hot.createOrReplaceTempView("nj_hot")
-    return spark.sql(
+    hot.createOrReplaceTempView(f"{v}_hot")
+    out = spark.sql(
         f"""WITH totals AS (
           SELECT doc_a, doc_b, SUM(cnt) AS cnt, MAX(na) AS na, MAX(nb) AS nb
-          FROM (SELECT doc_a, doc_b, cnt, na, nb FROM nj_pruned
+          FROM (SELECT doc_a, doc_b, cnt, na, nb FROM {v}_pruned
                 UNION ALL
                 SELECT doc_a, doc_b, cnt,
                        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-                FROM nj_hot)
+                FROM {v}_hot)
           GROUP BY doc_a, doc_b)
         SELECT doc_a, doc_b,
                CAST(ROUND(cnt * 10000.0 / (na + nb - cnt)) AS BIGINT) AS jaccard_e4
         FROM totals
         WHERE cnt * 10000.0 / (na + nb - cnt) >= {threshold_e4}"""
     )
+    # plans are analyzed eagerly, so the resolved `out`/`hot` DataFrames no
+    # longer need the views — drop them to leave the catalog clean
+    for suffix in ("_dd", "_pruned", "_hot"):
+        spark.catalog.dropTempView(f"{v}{suffix}")
+    return out
 
 
 def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,8 +815,13 @@ def _media_fixture_path() -> str:
 
     path = os.path.join(tempfile.gettempdir(), "char_ner_spark_media_fixture.parquet")
     if not os.path.exists(path):
+        # atomic stage: a killed/concurrent first writer must never leave a
+        # half-written parquet at the final path (exists() would then skip
+        # regeneration forever)
         pdf = make_media_fixture(96, seed=42)
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
     return path
 
 
@@ -846,7 +866,9 @@ def _conll_fixture_path() -> str:
 
     path = os.path.join(tempfile.gettempdir(), "char_ner_spark_conll_fixture.txt")
     if not os.path.exists(path):
-        write_conll_fixture(path, n_sents=120, seed=42)
+        tmp = f"{path}.tmp.{os.getpid()}"  # atomic stage (see media fixture)
+        write_conll_fixture(tmp, n_sents=120, seed=42)
+        os.replace(tmp, path)
     return path
 
 
@@ -971,12 +993,19 @@ def _fn_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # FileStreamSource needs a DIRECTORY; events.parquet is a single file —
     # stage a symlink to it inside a per-sf temp dir (no data copied)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(target.encode()).hexdigest()[:8]
     events_dir = os.path.join(tempfile.gettempdir(), f"cns_events_{tag}")
     link = os.path.join(events_dir, "part-00000.parquet")
     os.makedirs(events_dir, exist_ok=True)
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # lexists, not exists: a dangling symlink (target dir re-created) reads
+    # as absent to exists() but still blocks os.symlink with FileExistsError
+    if os.path.lexists(link) and (
+        not os.path.islink(link) or os.readlink(link) != target
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     # event-time ops need TIMESTAMP; parquet NTZ → UTC instant (session tz

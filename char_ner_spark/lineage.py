@@ -137,7 +137,9 @@ def run_partitioned(
         with commit_lock:
             append_manifest(spark, out_dir, row)
             write_snapshot(spark, out_dir, n_parts,
-                           schema_json=written_df.schema.json())
+                           schema_json=written_df.schema.json(),
+                           add_part={"part_id": pid, "rows": n,
+                                     "checksum": checksum})
             written.append(row)
         return row
 
@@ -151,7 +153,13 @@ def run_partitioned(
     else:
         with ThreadPoolExecutor(max_workers=max_inflight) as pool:
             list(pool.map(run_unit, pending))  # re-raises the first failure
-    if current_snapshot(out_dir) is None:  # all-done resume with no metadata yet
+    # heal a stale/missing snapshot pointer: a crash in the window between
+    # append_manifest and write_snapshot leaves the manifest ahead of the
+    # snapshot — readers resolving the pointer would silently drop the
+    # committed part. The manifest is the source of truth; converge to it.
+    snap = current_snapshot(out_dir)
+    manifest_done = completed_parts(spark, out_dir, "triples")
+    if snap is None or set(snap["completed"]) != manifest_done:
         write_snapshot(spark, out_dir, n_parts)
     return written
 
@@ -171,29 +179,43 @@ def _snapshot_dir(out_dir: str) -> str:
 
 
 def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int,
-                   schema_json: str | None = None) -> int:
-    """Append snapshot-N.json + point `current` at it; returns N."""
+                   schema_json: str | None = None,
+                   add_part: dict | None = None) -> int:
+    """Append snapshot-N.json + point `current` at it; returns N.
+
+    With ``add_part`` the new snapshot is the previous manifest list plus
+    that one entry — O(1) per commit, no Spark job under the commit lock
+    (at K ~ 10k units, re-aggregating the whole manifest per commit is
+    O(K²) total and serializes the overlapped units). Without it, the list
+    is rebuilt from the ``_lineage`` manifest — the heal/bootstrap path."""
     import hashlib
 
     meta = _snapshot_dir(out_dir)
     os.makedirs(meta, exist_ok=True)
     prev = current_snapshot(out_dir)
     n = (prev["snapshot_id"] + 1) if prev else 0
-    m = read_manifest(spark, out_dir)
-    parts = []
-    if m is not None:
-        rows = (
-            m.filter(F.col("stage") == "triples")
-            .groupBy("part_id")
-            .agg(F.max(F.struct("completed_at", "rows_out", "checksum")).alias("last"))
-            .select("part_id", "last.rows_out", "last.checksum")
-            .collect()
-        )
+    if add_part is not None:
+        base = prev["manifest"] if prev else []
         parts = sorted(
-            ({"part_id": int(r.part_id), "rows": int(r.rows_out), "checksum": r.checksum}
-             for r in rows),
+            [p for p in base if p["part_id"] != add_part["part_id"]] + [add_part],
             key=lambda p: p["part_id"],
         )
+    else:
+        m = read_manifest(spark, out_dir)
+        parts = []
+        if m is not None:
+            rows = (
+                m.filter(F.col("stage") == "triples")
+                .groupBy("part_id")
+                .agg(F.max(F.struct("completed_at", "rows_out", "checksum")).alias("last"))
+                .select("part_id", "last.rows_out", "last.checksum")
+                .collect()
+            )
+            parts = sorted(
+                ({"part_id": int(r.part_id), "rows": int(r.rows_out), "checksum": r.checksum}
+                 for r in rows),
+                key=lambda p: p["part_id"],
+            )
     if schema_json is None and prev is not None:
         schema_json = prev.get("schema_json")
     snap = {

@@ -109,8 +109,17 @@ def _tag_pdf(pdf: pd.DataFrame,
             for si, sent in enumerate(textops.split_sentences(text)):
                 sent_texts.append(sent)
                 sent_meta.append((url, si))
+        if weights_map is not None and lang not in weights_map:
+            # never silently mix stored and seeded models: a corpus lang
+            # absent from --weights-dir must fail loudly, not tag those
+            # pages with untrained seeded parameters
+            raise ValueError(
+                f"weights_map has no entry for lang={lang!r} "
+                f"(loaded: {sorted(weights_map)}); provide charner_{lang}.npz "
+                "or drop --weights-dir to use seeded weights for all langs"
+            )
         tagged = tag_sentences(sent_texts, lang,
-                               weights=(weights_map or {}).get(lang))
+                               weights=weights_map[lang] if weights_map else None)
         for (url, si), sent, spans in zip(sent_meta, sent_texts, tagged):
             for mi, (b, e, ner, sc) in enumerate(spans):
                 nxt = spans[mi + 1] if mi + 1 < len(spans) else None
@@ -262,12 +271,21 @@ def link_mentions(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> Da
     hash join; the rest go through the banded MinHash-LSH join."""
     surfaces = mentions.select("surface").distinct().localCheckpoint()
     best = best_links(surfaces, alias_tables)
-    raw_map = (
+    return mentions.join(
+        F.broadcast(_raw_winner_map(surfaces, best)), "surface", "left"
+    )
+
+
+def _raw_winner_map(surfaces: DataFrame, best: DataFrame) -> DataFrame:
+    """per-NORM winners → per-RAW-surface winners, all on the tiny distinct
+    surface set; two raw surfaces sharing a normal form both pick up its
+    winner. The single definition of the linking projection (link_mentions
+    and link_pairs must not drift)."""
+    return (
         surfaces.withColumn("surface_norm", _norm_col(F.col("surface")))
         .join(best, "surface_norm", "inner")
         .select("surface", "entity_id", "link_score")
     )
-    return mentions.join(F.broadcast(raw_map), "surface", "left")
 
 
 def best_links(surfaces: DataFrame, alias_tables: dict[str, DataFrame]) -> DataFrame:
@@ -380,14 +398,9 @@ def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame],
         best = best_links_broadcast(mentions.sparkSession, surfaces, alias_pdf)
     else:
         best = best_links(surfaces, alias_tables)
-    # per-NORM winners → per-RAW-surface winners, all on the tiny distinct
-    # set; two raw surfaces sharing a normal form both pick up its winner
-    raw_map = (
-        surfaces.withColumn("surface_norm", _norm_col(F.col("surface")))
-        .join(best, "surface_norm", "inner")
-        .select("surface", "entity_id", "link_score")
-    ).localCheckpoint()  # materialize ONCE — it feeds two broadcast joins,
-    # and broadcasting a plan re-executes it per join otherwise
+    raw_map = _raw_winner_map(surfaces, best).localCheckpoint()
+    # materialized ONCE — it feeds two broadcast joins, and broadcasting a
+    # plan re-executes it per join otherwise
     nxt = F.broadcast(
         raw_map.select(
             F.col("surface").alias("next_surface"),

@@ -52,10 +52,15 @@ def streamed_mentions(pages_stream: DataFrame, salt: int = 16) -> DataFrame:
 
 
 def dedup_pages_stream(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Stateful streaming dedup on url (SURVEY §2.10): state is bounded by
-    the event-time watermark, so at Common-Crawl scale the dedup store holds
-    one watermark-window of urls, not the full history."""
-    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+    """Stateful streaming dedup on url (SURVEY §2.10). Uses
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates(["url"])``
+    would never evict state (the watermark only expires dedup state when
+    the event-time column is part of the key), so at Common-Crawl scale the
+    store would grow with every url ever seen; the within-watermark variant
+    holds one watermark-window of urls."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
 
 
 def sessionize_stream(

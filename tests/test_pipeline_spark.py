@@ -296,3 +296,48 @@ def test_salted_repartition_defuses_domain_skew(spark):
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert len(sizes) == n_part  # every partition non-empty
     assert sizes.max() / sizes.mean() < 1.5, sizes.describe()
+
+
+def test_weights_map_missing_lang_raises(spark, corpus):
+    """A weights_map that does not cover a corpus lang must fail loudly,
+    never silently tag those pages with seeded (untrained) parameters."""
+    from char_ner_spark.pipeline import run_pipeline
+    from char_ner_spark.tagger import model_weights
+
+    alias, pages_pdf = corpus
+    langs = sorted(pages_pdf.lang.unique())
+    assert len(langs) >= 2, langs  # fixture must be multilingual for this test
+    partial = {langs[0]: model_weights(langs[0])}
+    pages = spark.createDataFrame(pages_pdf)
+    with pytest.raises(Exception, match="weights_map has no entry for lang"):
+        run_pipeline(spark, pages, alias, weights_map=partial)["triples"].count()
+
+
+def test_snapshot_pointer_healed_on_resume(spark, corpus):
+    """A crash between manifest append and snapshot write leaves the pointer
+    behind the manifest; the next run_partitioned must converge the snapshot
+    to the manifest so read_triples sees every committed part."""
+    from char_ner_spark import lineage
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d = tempfile.mkdtemp()
+    try:
+        lineage.run_partitioned(spark, pages, alias, d, n_parts=3)
+        full = lineage.read_triples(spark, d).count()
+        snap = lineage.current_snapshot(d)
+        assert sorted(snap["completed"]) == [0, 1, 2]
+        # simulate the stale-pointer crash window: rewind to snapshot 0
+        with open(os.path.join(d, "metadata", "current"), "w") as f:
+            f.write("0")
+        stale = lineage.current_snapshot(d)
+        assert len(stale["completed"]) < 3  # pointer now behind the manifest
+        assert lineage.read_triples(spark, d).count() < full
+        # all units already committed -> run is a no-op except the heal
+        rows = lineage.run_partitioned(spark, pages, alias, d, n_parts=3)
+        assert rows == []
+        healed = lineage.current_snapshot(d)
+        assert sorted(healed["completed"]) == [0, 1, 2]
+        assert lineage.read_triples(spark, d).count() == full
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -112,11 +112,15 @@ def test_ngram_jaccard_hot_shingle_correction_exact(spark):
     # across rare/hot; every expected pair still shares >=1 rare shingle
     got_df = ngram_jaccard_pairs(spark, "nj_test_docs", df_cap=2).toPandas()
     got = {(r.doc_a, r.doc_b): r.jaccard_e4 for r in got_df.itertuples()}
+    # the hot path carries weight here by construction: "x y z" (df=6 > cap)
+    # contributes 1 to every pair's intersection, so a dead correction join
+    # would under-count every expected jaccard and fail this equality
     assert got == expect, (got, expect)
 
-    # sanity: the capped run really routed shingles through the hot path
-    hot_n = spark.table("nj_hot").count()
-    assert hot_n > 0
+    # the per-call temp views must not leak into the session catalog
+    leaked = [t.name for t in spark.catalog.listTables() if t.name.startswith("nj")
+              and t.name != "nj_test_docs"]
+    assert leaked == [], leaked
 
 
 def test_ivf_full_probe_equals_exact(emb, queries):
