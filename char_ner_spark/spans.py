@@ -203,8 +203,10 @@ def char_classes_to_word_tags(text: str, classes: list[str],
             if scheme == "nospace":
                 joined = True
             else:
+                # gap (the inter-word whitespace) is non-empty by
+                # construction: word offsets are maximal non-space runs
                 gap = range(offs[k - 1][1], offs[k][0])
-                joined = all(classes[i] == cls for i in gap) and len(list(gap)) > 0
+                joined = all(classes[i] == cls for i in gap)
         tags.append(("I-" if joined else "B-") + cls)
     return tags
 

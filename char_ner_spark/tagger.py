@@ -75,10 +75,6 @@ def model_weights(lang: str) -> dict[str, np.ndarray]:
     return w
 
 
-def _sigmoid(x: np.ndarray) -> np.ndarray:
-    return 1.0 / (1.0 + np.exp(-x, dtype=np.float32))
-
-
 def _lstm_dir(x: np.ndarray, mask: np.ndarray, Wx: np.ndarray, Wh: np.ndarray,
               b: np.ndarray, reverse: bool) -> np.ndarray:
     """One masked LSTM direction. x: [n, T, Din], mask: [n, T] bool → [n, T, H].
@@ -167,7 +163,8 @@ def load_weights(path: str) -> dict[str, np.ndarray]:
 
 def encode_chars(text: str) -> np.ndarray:
     """Char → clamped codepoint id (≡ one-hot row-select, SURVEY §2.2 P2)."""
-    a = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    # '<u4' pins little-endian to match utf-32-le on any host byte order
+    a = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
     return np.minimum(a, VOCAB - 1)
 
 
@@ -193,7 +190,8 @@ def feature_bias(text: str) -> np.ndarray:
         if len(core) >= 2 and core[0].isupper() and core[1:].islower() and core.isalpha():
             cs = s + len(wtext) - len(wtext.lstrip(punct))
             # trailing punctuation inside the token ends the run ("Corp.,")
-            ends = wtext.rstrip()[-1] in punct if wtext else False
+            # (wtext is a maximal non-whitespace run: never empty/padded)
+            ends = wtext[-1] in punct
             cores.append((cs, cs + len(core), core, ends))
         else:
             cores.append((-1, -1, "", True))
@@ -294,9 +292,12 @@ def tag_sentences(texts: list[str], lang: str,
     reference's load-params-from-storage path, ref:src/exper.py:~300-340;
     see :func:`load_weights`).
 
-    Rows are grouped by exact length so padded positions never exist —
-    keeps per-row results bitwise-identical across any batch composition
-    (determinism requirement, SURVEY §7 risk (a))."""
+    Rows are bucketed to 32-char length multiples and padded to the bucket
+    width; the mask and the per-direction boundary handling keep padded
+    positions out of every recurrence, so per-row results stay
+    bitwise-identical across any batch composition (determinism
+    requirement, SURVEY §7 risk (a)). The mask machinery is load-bearing —
+    padding DOES exist inside a bucket."""
     w = weights if weights is not None else model_weights(lang)
     results: list[list[tuple[int, int, str, float]]] = [[] for _ in texts]
     # Two exactness-preserving short cuts (both inside this shared function,

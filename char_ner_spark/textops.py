@@ -21,13 +21,16 @@ _WS_RE = re.compile(rb"[ \t\r\n]+")
 _BLOCK_RE = re.compile(
     rb"<(?:script|style)\b[^>]*>.*?</(?:script|style)>", re.DOTALL | re.IGNORECASE
 )
+# &amp; decodes LAST: replacing it first would turn a literal "&amp;lt;"
+# (source text containing the string "&lt;") into "&lt;" and then a second
+# pass would double-unescape it to "<"
 _ENTITIES = {
-    b"&amp;": b"&",
     b"&lt;": b"<",
     b"&gt;": b">",
     b"&quot;": b'"',
     b"&#39;": b"'",
     b"&nbsp;": b" ",
+    b"&amp;": b"&",
 }
 
 
@@ -117,10 +120,14 @@ def char_ngrams(s: str, n: int = 3) -> set[str]:
 # MinHash: k universal hash perms h_i(x) = (a_i*x + b_i) mod p, banded LSH.
 # b=8, r=2 ⇒ P(candidate | jaccard=0.5) ≈ 1-(1-0.25)^8 ≈ 0.90 — sized for
 # typo-level similarity; candidates are exact-Jaccard-verified afterwards.
+# p = 2^31-1 with 31-bit operands: a*x+b < 2^62 stays exact in int64 (the
+# earlier 61-bit p silently wrapped np.outer past int64, so the computed
+# function was not the stated universal family and carried no min-wise
+# independence guarantee).
 MINHASH_K = 16
 MINHASH_BANDS = 8
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = (1 << 31) - 1
 _rng = np.random.RandomState(20160731)  # CharNER COLING-2016 vintage seed
 _MH_A = _rng.randint(1, _MERSENNE, size=MINHASH_K, dtype=np.int64)
 _MH_B = _rng.randint(0, _MERSENNE, size=MINHASH_K, dtype=np.int64)
@@ -135,8 +142,8 @@ def minhash_signature(grams: set[str]) -> np.ndarray:
     if not grams:
         return np.zeros(MINHASH_K, dtype=np.int64)
     xs = np.fromiter((_hash_token(g) for g in grams), dtype=np.uint64)
-    xs = xs.astype(np.int64) & ((1 << 61) - 1)
-    # (k, |grams|) matrix of hashes, min over grams
+    xs = xs.astype(np.int64) & _MERSENNE
+    # (k, |grams|) matrix of hashes, min over grams — exact: |a*x+b| < 2^62
     hv = (np.outer(_MH_A, xs) + _MH_B[:, None]) % _MERSENNE
     return hv.min(axis=1).astype(np.int64)
 
@@ -156,7 +163,7 @@ def jaccard(a: set[str], b: set[str]) -> float:
     if not a and not b:
         return 1.0
     inter = len(a & b)
-    return inter / (len(a) + len(b) - inter) if (a or b) else 0.0
+    return inter / (len(a) + len(b) - inter)
 
 
 # --------------------------------------------------------------------------

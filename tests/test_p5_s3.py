@@ -44,3 +44,28 @@ def test_weights_save_load_roundtrip():
     assert set(loaded) == set(orig)
     for k in orig:
         assert np.array_equal(loaded[k], orig[k]), k
+
+
+def test_extract_text_no_double_unescape():
+    """'&amp;lt;' is source text containing the literal string '&lt;' — it
+    must decode to '&lt;', not be double-unescaped to '<'."""
+    from char_ner_spark.textops import extract_text
+
+    assert extract_text(b"<p>a &amp;lt; b</p>") == "a &lt; b"
+    assert extract_text(b"<p>a &lt; b &amp; c</p>") == 'a < b & c'
+
+
+def test_minhash_arithmetic_exact():
+    """The universal-hash products must stay inside int64 (the 61-bit
+    modulus silently wrapped); verify vs arbitrary-precision Python ints."""
+    import numpy as np
+
+    from char_ner_spark import textops as TX
+
+    grams = TX.char_ngrams("steveldu corp")
+    sig = TX.minhash_signature(grams)
+    xs = sorted((TX._hash_token(g) & TX._MERSENNE) for g in grams)
+    for i in range(TX.MINHASH_K):
+        want = min((int(TX._MH_A[i]) * x + int(TX._MH_B[i])) % TX._MERSENNE
+                   for x in xs)
+        assert int(sig[i]) == want, i
