@@ -18,11 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full KG-construction pipeline (extract → tag →
-    link → canonicalize → triples), sized from /root/testdata/sf0.001.
-    Returns the triples DataFrame (driver checks rows ≥ 0, stable schema)."""
-    from char_ner_spark.driver_queries import _fn_kg_triples
+    link → canonicalize → triples) on a small deterministic fixture corpus.
+    Returns the triples DataFrame (driver checks rows ≥ 0, stable schema:
+    subj, pred, obj, url, sent_idx, conf — same as round 1)."""
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+    from char_ner_spark.pipeline import run_pipeline
 
-    return _fn_kg_triples(spark, "/root/testdata/sf0.001")
+    alias = make_alias_table(120, seed=42)
+    pages = spark.createDataFrame(make_pages(60, seed=42, alias_df=alias))
+    return run_pipeline(spark, pages, alias)["triples"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -33,9 +37,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL for each SQL-expressible query; non-SQL
-    operators (tagger, MinHash dedup, SimHash, cosine ANN, KG pipeline)
-    are rows-only by contract."""
+    """DuckDB-runnable ANSI SQL for each SQL-expressible query. The KG
+    pipeline/tagger queries are hash-checked against a staged parquet of the
+    single-process golden run; MinHash/SimHash run the same SQL template on
+    both engines. Only ann_lsh_topk stays rows-only (approximate by
+    design; pinned vs brute force in tests/test_similarity.py)."""
     from char_ner_spark.driver_queries import build_oracle_sql
 
     return build_oracle_sql()

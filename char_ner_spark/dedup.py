@@ -1,0 +1,139 @@
+"""Cross-engine SQL dedup operators: SimHash and MinHash-LSH.
+
+One template generator emits BOTH the Spark and the DuckDB dialect of each
+operator, so the two engines are locked semantically step-for-step and the
+driver's value-hash gate verifies the distributed Spark execution against a
+genuinely independent engine (not a restaged copy of the same Python code).
+
+The portable primitive is a 60-bit hash: the last 15 hex chars of md5(s),
+read big-endian. Both engines agree bit-for-bit (tests/test_dedup_sql.py),
+and 60 bits keeps every intermediate inside a signed BIGINT so there is no
+unsigned/overflow divergence between the dialects.
+
+Scale note (SURVEY.md §2.9 M6 / builder brief "Deduplication"): these are
+pure built-in string/bit SQL — on Spark every stage stays inside JVM
+whole-stage codegen with zero Python-worker crossings, which is cheaper per
+byte at 100 TB than the Arrow-batched NumPy path in textops.py. The NumPy
+path remains the in-pipeline implementation for alias LSH *linking*, where
+the signature matrix feeds Python scoring code anyway; for corpus-level
+near-dup detection this SQL form is the production path: the band group-by
+shuffles only (band_idx, band_hash, doc_id), partial-aggregates map-side,
+and never materializes candidate pairs.
+"""
+
+from __future__ import annotations
+
+SPARK, DUCK = "spark", "duck"
+
+
+def hash60(expr: str, dialect: str) -> str:
+    """Portable 60-bit hash of a string expression (md5 tail, big-endian)."""
+    if dialect == SPARK:
+        return f"CAST(conv(substr(md5({expr}), 18, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 18, 15)) AS BIGINT)"
+
+
+def _bit(h: str, j: int, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"(shiftright({h}, {j}) & 1)"
+    return f"(({h} >> {j}) & 1)"
+
+
+def _tokens_cte(table: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"SELECT doc_id, explode(split(text, ' ')) AS tok FROM {table}"
+    return f"SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {table}"
+
+
+def _shingles_cte(table: str, dialect: str) -> str:
+    """Word-trigram shingles (drops docs with < 3 tokens on both engines)."""
+    if dialect == SPARK:
+        return f"""
+          SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
+                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                                element_at(t, i + 2)))) AS shingle
+          FROM (SELECT doc_id, split(text, ' ') AS t FROM {table})
+          WHERE size(t) >= 3"""
+    return f"""
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table})"""
+
+
+def simhash_sql(dialect: str, table: str = "documents", bits: int = 60) -> str:
+    """SimHash fingerprint per document over whitespace tokens.
+
+    Bit j of the fingerprint is 1 iff the count of tokens whose 60-bit hash
+    has bit j set exceeds the count that do not (ties -> 0, identically on
+    both engines). band16 is the low 16 bits — the blocking key for
+    hamming-distance candidate generation.
+    """
+    h = hash60("tok", dialect)
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN {_bit('h', j, dialect)} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+        WITH toks AS ({_tokens_cte(table, dialect)}),
+        hashed AS (SELECT doc_id, {h} AS h FROM toks),
+        bitsum AS (
+            SELECT doc_id,
+               {sums}
+            FROM hashed GROUP BY doc_id),
+        fp AS (SELECT doc_id, {assemble} AS simhash FROM bitsum)
+        SELECT doc_id, simhash, (simhash & 65535) AS band16 FROM fp
+    """
+
+
+def minhash_bands_sql(
+    dialect: str,
+    table: str = "documents",
+    n_hashes: int = 16,
+    n_bands: int = 8,
+) -> str:
+    """MinHash signature (``n_hashes`` independent 60-bit hash functions over
+    distinct word-trigram shingles) banded into ``n_bands`` LSH buckets;
+    emits only buckets holding >1 document (the near-dup candidates).
+
+    Hash function i is hash60('i:' || shingle); band b's key is the md5 of
+    the comma-joined signature slice. The group-by shuffles only
+    (band_idx, band_hash, doc_id) rows — candidate PAIRS are never
+    materialized, so a bucket of k near-dups costs k rows, not k².
+    """
+    assert n_hashes % n_bands == 0
+    r = n_hashes // n_bands
+    mins = ",\n               ".join(
+        "MIN({h}) AS m{i}".format(
+            h=hash60("'{}:' || shingle".format(i), dialect), i=i
+        )
+        for i in range(n_hashes)
+    )
+    stype = "STRING" if dialect == SPARK else "VARCHAR"
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || ',' || ".join(f"CAST(m{b * r + i} AS {stype})" for i in range(r))
+        + ") AS band_hash FROM sig"
+        for b in range(n_bands)
+    )
+    if dialect == SPARK:
+        ids = ("array_join(transform(array_sort(collect_list(doc_id)),"
+               " x -> CAST(x AS STRING)), ',')")
+    else:
+        ids = "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)"
+    return f"""
+        WITH sh AS ({_shingles_cte(table, dialect)}),
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM d GROUP BY doc_id),
+        bands AS (
+            {band_selects})
+        SELECT band_idx, band_hash, {ids} AS doc_ids, COUNT(*) AS n
+        FROM bands GROUP BY band_idx, band_hash
+        HAVING COUNT(*) > 1
+    """

@@ -546,6 +546,20 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
     "cosine_topk_embeddings": (_COSINE_TOPK_SPARK, _COSINE_TOPK_DUCK),
 }
 
+# cross-engine SQL dedup operators (char_ner_spark/dedup.py): ONE template
+# generates both dialects, so the hash gate checks Spark's distributed
+# execution against an independent engine. These are also the production
+# corpus-dedup path at scale: built-in string/bit SQL, zero Python
+# crossings, whole-stage codegen end to end (the NumPy MinHash in textops
+# remains the alias-LSH *linking* implementation, where signatures feed
+# Python scoring anyway).
+from .dedup import DUCK, SPARK, minhash_bands_sql, simhash_sql  # noqa: E402
+
+PAIRED_SQL["minhash_dedup_buckets"] = (
+    minhash_bands_sql(SPARK), minhash_bands_sql(DUCK)
+)
+PAIRED_SQL["simhash_documents"] = (simhash_sql(SPARK), simhash_sql(DUCK))
+
 # --------------------------------------------------------------------------
 # 3. Spark callables (non-SQL operators); optional DuckDB oracle
 # --------------------------------------------------------------------------
@@ -587,79 +601,106 @@ _CC_DUCK_SQL = """
 """
 
 
-def _fn_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup buckets over documents (rows-only check; doc_ids
-    projected to a comma string — canonicalizer-safe)."""
-    from pyspark.sql import functions as F
+# flagship KG fixture corpus: fixed size (NOT sized from the sf tables) so
+# the staged golden-oracle parquet below matches the Spark query at any sf
+_KG_N_ENTITIES, _KG_N_PAGES = 120, 240
 
-    from .pipeline import _bands_udf
 
-    register_views(spark, sf_dir)
-    docs = spark.table("documents")
-    bands = docs.select(
-        "doc_id", F.posexplode(_bands_udf(F.col("text"))).alias("band_idx", "band_hash")
-    )
+def _kg_corpus():
+    from .fixtures import make_alias_table, make_pages
+
+    alias = make_alias_table(_KG_N_ENTITIES, seed=42)
+    pages = make_pages(_KG_N_PAGES, seed=42, alias_df=alias)
+    return alias, pages
+
+
+def _kg_gold_paths() -> dict[str, str]:
+    """Stage the single-process golden run (oracle.run_oracle — the same
+    pure semantics composed sequentially in pandas, no Spark) as parquet
+    for the DuckDB side. The driver's value-hash gate then verifies that
+    every distribution mechanism in the Spark pipeline — mapInPandas
+    batching, salted repartition, broadcast linking, distributed
+    canonicalization, shuffled dedup — reproduces the sequential
+    composition bit-for-bit (scores/confidences included, via e6
+    fixed-point). Floats use floor(x*1e6+0.5): same double inputs on both
+    sides (verified bitwise in tests/test_pipeline_spark.py), same rule."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .oracle import run_oracle
+
+    tmp = tempfile.gettempdir()
+    paths = {
+        k: os.path.join(tmp, f"cns_kg_gold_{k}_{_KG_N_PAGES}.parquet")
+        for k in ("triples", "mentions")
+    }
+    if not all(os.path.exists(p) for p in paths.values()):
+        alias, pages = _kg_corpus()
+        gold = run_oracle(pages, alias)
+        tri = gold["triples"].copy()
+        tri["conf_e6"] = np.floor(
+            tri["conf"].astype("float64") * 1e6 + 0.5
+        ).astype("int64")
+        tri = tri[["subj", "pred", "obj", "url", "sent_idx", "conf_e6"]]
+        men = gold["mentions"].copy()
+        men["score_e6"] = np.floor(
+            men["score"].astype("float64") * 1e6 + 0.5
+        ).astype("int64")
+        men = men[
+            ["url", "sent_idx", "begin", "end", "surface", "ner_type", "lang", "score_e6"]
+        ]
+        for k, pdf in (("triples", tri), ("mentions", men)):
+            t = f"{paths[k]}.tmp.{os.getpid()}"  # atomic stage (see media fixture)
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), t)
+            os.replace(t, paths[k])
+    return paths
+
+
+def _kg_triples_duck_sql() -> str:
+    p = _kg_gold_paths()["triples"]
+    return f"SELECT subj, pred, obj, url, sent_idx, conf_e6 FROM read_parquet('{p}')"
+
+
+def _kg_mentions_duck_sql() -> str:
+    p = _kg_gold_paths()["mentions"]
     return (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"), F.count("*").alias("n"))
-        .filter("n > 1")
-        .select(
-            "band_idx", "band_hash",
-            F.array_join(F.col("ids").cast("array<string>"), ",").alias("doc_ids"),
-            "n",
-        )
-    )
-
-
-def _fn_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + hamming-band prefix (rows-only check).
-    NumPy-batched per Arrow batch — no per-token Python loop."""
-    import pandas as pd
-
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    from .textops import simhash64_batch
-
-    register_views(spark, sf_dir)
-
-    # lambda form: `from __future__ import annotations` stringifies type
-    # hints, which pandas_udf can't introspect on a nested def
-    _simhash_udf = F.pandas_udf(
-        lambda s: pd.Series(simhash64_batch(s)), T.LongType()
-    )
-
-    return (
-        spark.table("documents")
-        .select("doc_id", _simhash_udf("text").alias("simhash"))
-        .withColumn("band16", (F.col("simhash").bitwiseAND(F.lit(0xFFFF))).cast("long"))
+        "SELECT url, sent_idx, begin, \"end\", surface, ner_type, lang, score_e6 "
+        f"FROM read_parquet('{p}')"
     )
 
 
 def _fn_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship KG pipeline on the deterministic fixture corpus, sized from
-    the sf documents table (rows-only; full parity is tested vs the oracle
-    in tests/test_pipeline_spark.py)."""
-    from .fixtures import make_alias_table, make_pages
+    """Flagship KG pipeline (extract → tag → link → canonicalize → triples)
+    on the deterministic fixture corpus, hash-checked against the staged
+    single-process golden run (see _kg_gold_paths)."""
     from .pipeline import run_pipeline
 
     register_views(spark, sf_dir)
-    n_docs = spark.table("documents").count()
-    n_pages = max(50, min(int(n_docs), 500))
-    alias = make_alias_table(120, seed=42)
-    pages = spark.createDataFrame(make_pages(n_pages, seed=42, alias_df=alias))
-    return run_pipeline(spark, pages, alias)["triples"]
+    alias, pages_pdf = _kg_corpus()
+    pages = spark.createDataFrame(pages_pdf)
+    return run_pipeline(spark, pages, alias)["triples"].selectExpr(
+        "subj", "pred", "obj", "url", "sent_idx",
+        "CAST(FLOOR(CAST(conf AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS conf_e6",
+    )
 
 
 def _fn_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagger stage alone on the fixture corpus (rows-only)."""
-    from .fixtures import make_alias_table, make_pages
+    """Tagger stage alone (extract_text + BiLSTM + Viterbi inside the
+    vectorized UDFs), hash-checked against the golden run's mention table —
+    scores included (e6 fixed-point; batch composition is provably
+    score-invariant, tests/test_tagger_oracle.py)."""
     from .pipeline import extract_text_df, tag_mentions
 
     register_views(spark, sf_dir)
-    alias = make_alias_table(120, seed=42)
-    pages = spark.createDataFrame(make_pages(100, seed=42, alias_df=alias))
-    return tag_mentions(extract_text_df(pages))
+    alias, pages_pdf = _kg_corpus()
+    pages = spark.createDataFrame(pages_pdf)
+    return tag_mentions(extract_text_df(pages)).selectExpr(
+        "url", "sent_idx", "begin", "end", "surface", "ner_type", "lang",
+        "CAST(FLOOR(CAST(score AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS score_e6",
+    )
 
 
 def _fn_pivot_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,13 +1080,11 @@ SPARK_FN: dict[
     str,
     tuple[Callable[[SparkSession, str], DataFrame], str | Callable[[], str] | None],
 ] = {
-    "kg_triples_fixture": (_fn_kg_triples, None),
-    "kg_mentions_fixture": (_fn_kg_mentions, None),
+    "kg_triples_fixture": (_fn_kg_triples, _kg_triples_duck_sql),
+    "kg_mentions_fixture": (_fn_kg_mentions, _kg_mentions_duck_sql),
     "streaming_window_counts": (_fn_streaming_window_counts, _STREAMING_DUCK_SQL),
     "span_f1_scoring": (_fn_span_f1, _SPAN_F1_DUCK_SQL),
     "connected_components_graph": (_fn_connected_components, _CC_DUCK_SQL),
-    "minhash_dedup_buckets": (_fn_minhash_dedup, None),
-    "simhash_documents": (_fn_simhash_documents, None),
     "media_features_fixture": (_fn_media_features, _media_duck_sql),
     "conll_reader_fixture": (_fn_conll_reader, _conll_duck_sql),
     "pivot_operator_native": (_fn_pivot_operator, _PIVOT_DUCK_SQL),

@@ -165,73 +165,3 @@ def jaccard(a: set[str], b: set[str]) -> float:
     inter = len(a & b)
     return inter / (len(a) + len(b) - inter)
 
-
-# --------------------------------------------------------------------------
-# document fingerprinting / quality (training-data pipeline ops)
-# --------------------------------------------------------------------------
-
-
-_BIT_IDX = np.arange(64, dtype=np.uint64)
-
-
-def _token_hashes(tokens: np.ndarray) -> np.ndarray:
-    """uint64 hash per token — pandas' C-vectorized SipHash (deterministic,
-    fixed default key). Shared by the per-row and batched SimHash so they
-    are bitwise-equal (tested)."""
-    import pandas as pd
-
-    if tokens.size == 0:
-        return np.zeros(0, dtype=np.uint64)
-    # categorize=True dedups repeated tokens before hashing (same values,
-    # ~3× faster on natural text where token frequency is Zipf-distributed)
-    return pd.util.hash_array(tokens.astype(object), categorize=True)
-
-
-def _pack_sign_bits(acc: np.ndarray) -> np.ndarray:
-    """[n, 64] vote accumulator → signed int64 fingerprints (bit i set iff
-    acc[:, i] > 0)."""
-    vals = ((acc > 0).astype(np.uint64) << _BIT_IDX[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
-    return vals.view(np.int64)
-
-
-def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token hashes (signed int64 for Spark LongType).
-    Per-row reference implementation of :func:`simhash64_batch`."""
-    if not tokens:
-        return 0
-    hs = _token_hashes(np.asarray(tokens, dtype=object))
-    bits = ((hs[:, None] >> _BIT_IDX[None, :]) & 1).astype(np.int64)
-    acc = (bits * 2 - 1).sum(axis=0)
-    return int(_pack_sign_bits(acc[None, :])[0])
-
-
-def simhash64_batch(texts) -> np.ndarray:
-    """Vectorized SimHash of a batch of documents (whitespace-tokenized):
-    one C-level hash pass over all tokens + one NumPy bit-vote reduction —
-    no per-token Python (round-1 verdict: the per-token blake2b loop was
-    the slowest op per byte; this is ~10× faster on sf0.1 documents).
-
-    Returns int64[n]; empty/None docs → 0 (matches ``simhash64``)."""
-    import pandas as pd
-
-    s = pd.Series(texts).reset_index(drop=True).fillna("")
-    toks = s.str.split().explode()
-    toks = toks[toks.notna()]
-    doc_idx = toks.index.to_numpy(dtype=np.int64)  # sorted (explode order)
-    hs = _token_hashes(toks.to_numpy(dtype=object))
-    if not hs.size:
-        return np.zeros(len(s), dtype=np.int64)
-    # per-document popcount per bit: 64 contiguous 1-D segment sums
-    # (documents are contiguous post-explode). Measured on sf0.1 documents:
-    # bit-matrix cumsum/add.at layouts are 50-90× slower than this.
-    counts = np.bincount(doc_idx, minlength=len(s)).astype(np.int64)
-    nonempty = counts > 0
-    starts_nz = (np.cumsum(counts) - counts)[nonempty]
-    ones = np.zeros((len(s), 64), dtype=np.int64)
-    for j in range(64):
-        bit_j = ((hs >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
-        ones[nonempty, j] = np.add.reduceat(bit_j, starts_nz)
-    votes = 2 * ones - counts[:, None]  # (+1 per set bit, -1 per clear bit)
-    return _pack_sign_bits(votes)

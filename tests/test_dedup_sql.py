@@ -1,0 +1,90 @@
+"""Cross-engine equality tests for the SQL dedup operators (dedup.py):
+the same template must produce identical rows on Spark and DuckDB, and the
+operators must behave like SimHash / MinHash-LSH semantically (near-dups
+cluster, unrelated docs don't)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from char_ner_spark.dedup import DUCK, SPARK, hash60, minhash_bands_sql, simhash_sql
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": list(range(8)),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+            "a completely different sentence about markets and growth",
+            "a completely different sentence about markets and growth",  # exact dup of 2
+            "der bericht zeigt ein stetiges wachstum bei umsatz",
+            "el informe muestra un crecimiento estable en ingresos",
+            "one two",                                        # < 3 tokens: no shingles
+            "",                                               # empty text
+        ],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.register("dedup_docs", DOCS)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def sdocs(spark):
+    spark.createDataFrame(DOCS).createOrReplaceTempView("dedup_docs")
+    return spark
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_hash60_cross_engine(sdocs, duck):
+    probe = ["", "abc", "0:some shingle", "ümlaut tökens", "the quick brown"]
+    s = sdocs.sql(
+        "SELECT " + hash60("x", SPARK) + " AS h FROM VALUES "
+        + ",".join(f"('{v}')" for v in probe) + " AS t(x)"
+    ).toPandas()
+    d = duck.sql(
+        "SELECT " + hash60("x", DUCK) + " AS h FROM (VALUES "
+        + ",".join(f"('{v}')" for v in probe) + ") t(x)"
+    ).df()
+    assert list(s.h) == list(d.h)
+    assert all(0 <= v < (1 << 60) for v in s.h)
+
+
+def test_simhash_cross_engine_and_semantics(sdocs, duck):
+    a = _canon(sdocs.sql(simhash_sql(SPARK, table="dedup_docs")).toPandas())
+    b = _canon(duck.sql(simhash_sql(DUCK, table="dedup_docs")).df())
+    pd.testing.assert_frame_equal(a, b)
+    fp = dict(
+        zip(
+            sdocs.sql(simhash_sql(SPARK, table="dedup_docs")).toPandas().doc_id,
+            sdocs.sql(simhash_sql(SPARK, table="dedup_docs")).toPandas().simhash,
+        )
+    )
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert fp[2] == fp[3]  # exact dup -> identical fingerprint
+    assert ham(fp[0], fp[1]) < ham(fp[0], fp[4])  # near-dup closer than unrelated
+
+
+def test_minhash_bands_cross_engine_and_recall(sdocs, duck):
+    a = _canon(sdocs.sql(minhash_bands_sql(SPARK, table="dedup_docs")).toPandas())
+    b = _canon(duck.sql(minhash_bands_sql(DUCK, table="dedup_docs")).df())
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    # the exact-dup pair 2,3 must share ALL 8 bands; every bucket holds >1 doc
+    raw = sdocs.sql(minhash_bands_sql(SPARK, table="dedup_docs")).toPandas()
+    both = raw[raw.doc_ids.str.contains("2") & raw.doc_ids.str.contains("3")]
+    assert len(both) >= 8
+    assert (raw.n > 1).all()
+    # docs without shingles (6: two tokens, 7: empty) never reach a bucket
+    assert not raw.doc_ids.str.split(",").apply(lambda xs: "6" in xs or "7" in xs).any()

@@ -60,3 +60,17 @@ def test_media_fixture_parquet_is_stable(tmp_path):
     p = tmp_path / "media.parquet"
     pq.write_table(ta, p)
     assert pq.read_table(p).equals(ta)
+
+
+def test_kg_gold_staged_oracle_matches_spark(spark, sf_dir, duck):
+    """The staged single-process golden run (kg gold parquet) must equal the
+    distributed tagger query bit-for-bit — the driver-side evidence for the
+    flagship KG path (triples share the same staging + projection and are
+    covered by tools/check_contract.py)."""
+    from char_ner_spark.driver_queries import _fn_kg_mentions, _kg_mentions_duck_sql
+
+    sdf = _fn_kg_mentions(spark, sf_dir).toPandas()
+    odf = duck.sql(_kg_mentions_duck_sql()).df()
+    a, b = _canon(sdf), _canon(odf)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b)
