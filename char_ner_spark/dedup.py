@@ -89,20 +89,18 @@ def simhash_sql(dialect: str, table: str = "documents", bits: int = 60) -> str:
     """
 
 
-def minhash_bands_sql(
+def minhash_doc_bands_sql(
     dialect: str,
     table: str = "documents",
     n_hashes: int = 16,
     n_bands: int = 8,
 ) -> str:
-    """MinHash signature (``n_hashes`` independent 60-bit hash functions over
-    distinct word-trigram shingles) banded into ``n_bands`` LSH buckets;
-    emits only buckets holding >1 document (the near-dup candidates).
+    """Per-document LSH band keys: (doc_id, band_idx, band_hash).
 
-    Hash function i is hash60('i:' || shingle); band b's key is the md5 of
-    the comma-joined signature slice. The group-by shuffles only
-    (band_idx, band_hash, doc_id) rows — candidate PAIRS are never
-    materialized, so a bucket of k near-dups costs k rows, not k².
+    MinHash signature = ``n_hashes`` independent 60-bit hash functions
+    (hash function i is hash60('i:' || shingle)) MIN-aggregated over the
+    document's distinct word-trigram shingles; band b's key is the md5 of
+    the comma-joined signature slice of ``n_hashes / n_bands`` rows.
     """
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
@@ -119,11 +117,6 @@ def minhash_bands_sql(
         + ") AS band_hash FROM sig"
         for b in range(n_bands)
     )
-    if dialect == SPARK:
-        ids = ("array_join(transform(array_sort(collect_list(doc_id)),"
-               " x -> CAST(x AS STRING)), ',')")
-    else:
-        ids = "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)"
     return f"""
         WITH sh AS ({_shingles_cte(table, dialect)}),
         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -133,7 +126,78 @@ def minhash_bands_sql(
             FROM d GROUP BY doc_id),
         bands AS (
             {band_selects})
+        SELECT doc_id, band_idx, band_hash FROM bands
+    """
+
+
+def minhash_bands_sql(
+    dialect: str,
+    table: str = "documents",
+    n_hashes: int = 16,
+    n_bands: int = 8,
+) -> str:
+    """Near-dup candidate buckets: LSH buckets holding >1 document.
+
+    The group-by shuffles only (band_idx, band_hash, doc_id) rows —
+    candidate PAIRS are never materialized, so a bucket of k near-dups
+    costs k rows, not k²."""
+    if dialect == SPARK:
+        ids = ("array_join(transform(array_sort(collect_list(doc_id)),"
+               " x -> CAST(x AS STRING)), ',')")
+    else:
+        ids = "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)"
+    return f"""
+        WITH doc_bands AS ({minhash_doc_bands_sql(dialect, table, n_hashes, n_bands)})
         SELECT band_idx, band_hash, {ids} AS doc_ids, COUNT(*) AS n
-        FROM bands GROUP BY band_idx, band_hash
+        FROM doc_bands GROUP BY band_idx, band_hash
         HAVING COUNT(*) > 1
     """
+
+
+def near_dup_groups(spark, table: str = "documents",
+                    n_hashes: int = 16, n_bands: int = 8):
+    """Corpus-level near-dup GROUPING: (doc_id, keep_doc_id) for every
+    document, where keep_doc_id is the min doc_id of the document's near-dup
+    cluster (transitive closure over shared LSH buckets).
+
+    Composition, all shuffle-lean at 100 TB:
+      per-doc band keys (JVM SQL, no Python)
+        → star edges per bucket (min member → others; k rows per k-bucket,
+          never k² pairs)
+        → connected components (pointer-jumped min-label propagation, the
+          same operator that canonicalizes entities)
+        → left-join back onto the full doc_id set (singletons keep
+          themselves).
+    The CC working set is only the documents that share ≥1 bucket — at
+    web scale orders of magnitude smaller than the corpus."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import connected_components
+
+    bands = spark.sql(minhash_doc_bands_sql(SPARK, table, n_hashes, n_bands))
+    members = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    edges = (
+        members.select(
+            F.element_at("ids", 1).cast("long").alias("src"),
+            F.explode(F.slice("ids", 2, F.size("ids") - 1)).alias("dst"),
+        )
+        .select("src", F.col("dst").cast("long").alias("dst"))
+        .distinct()
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, edges)
+    docs = spark.table(table).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return docs.join(
+        cc.withColumnRenamed("entity_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("canonical_id", F.col("doc_id")).alias("keep_doc_id"),
+    )

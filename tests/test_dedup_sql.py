@@ -88,3 +88,17 @@ def test_minhash_bands_cross_engine_and_recall(sdocs, duck):
     assert (raw.n > 1).all()
     # docs without shingles (6: two tokens, 7: empty) never reach a bucket
     assert not raw.doc_ids.str.split(",").apply(lambda xs: "6" in xs or "7" in xs).any()
+
+
+def test_near_dup_groups_cluster_and_singletons(sdocs):
+    from char_ner_spark.dedup import near_dup_groups
+
+    got = {
+        int(r.doc_id): int(r.keep_doc_id)
+        for r in near_dup_groups(sdocs, table="dedup_docs").collect()
+    }
+    assert set(got) == set(range(8))          # keep-map covers every doc
+    assert got[2] == got[3] == 2              # exact dups cluster to min id
+    assert got[0] == got[1] == 0              # near-dups (1 token apart) too
+    for d in (4, 5, 6, 7):                    # unrelated / shingle-less docs
+        assert got[d] == d                    # keep themselves
