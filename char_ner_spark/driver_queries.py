@@ -477,30 +477,54 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
         """SELECT text, COUNT(*) AS n_dups, CAST(MIN(doc_id) AS BIGINT) AS keeper
            FROM documents GROUP BY text HAVING COUNT(*) > 1""",
     ),
-    # token counting + quality scoring in one pass (chars/token e4)
+    # token counting + quality scoring in one pass: whitespace tokens,
+    # BPE-ish regex pieces (word runs + single non-word marks), chars/token,
+    # punctuation ratio, stopword ratio (all e4 fixed-point)
     "quality_token_stats": (
         """SELECT doc_id,
                   CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(size(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT) AS n_pieces,
                   CAST(LENGTH(text) AS BIGINT) AS n_chars_text,
                   CAST(n_chars AS BIGINT) AS n_chars_meta,
-                  CAST(ROUND(LENGTH(text) * 10000.0 / size(split(text, ' '))) AS BIGINT) AS chars_per_token_e4
+                  CAST(ROUND(LENGTH(text) * 10000.0 / size(split(text, ' '))) AS BIGINT) AS chars_per_token_e4,
+                  CAST(ROUND(size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0)) * 10000.0
+                             / GREATEST(LENGTH(text), 1)) AS BIGINT) AS punct_ratio_e4,
+                  CAST(ROUND(size(regexp_extract_all(LOWER(text), '\\\\b(the|and|of|a|in|to|der|und|el|la|de|le|et)\\\\b', 0)) * 10000.0
+                             / size(split(text, ' '))) AS BIGINT) AS stopword_ratio_e4
            FROM documents""",
         """SELECT doc_id,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_pieces,
                   CAST(LENGTH(text) AS BIGINT) AS n_chars_text,
                   CAST(n_chars AS BIGINT) AS n_chars_meta,
-                  CAST(ROUND(LENGTH(text) * 10000.0 / len(string_split(text, ' '))) AS BIGINT) AS chars_per_token_e4
+                  CAST(ROUND(LENGTH(text) * 10000.0 / len(string_split(text, ' '))) AS BIGINT) AS chars_per_token_e4,
+                  CAST(ROUND(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 10000.0
+                             / GREATEST(LENGTH(text), 1)) AS BIGINT) AS punct_ratio_e4,
+                  CAST(ROUND(len(regexp_extract_all(LOWER(text), '\\b(the|and|of|a|in|to|der|und|el|la|de|le|et)\\b')) * 10000.0
+                             / len(string_split(text, ' '))) AS BIGINT) AS stopword_ratio_e4
            FROM documents""",
     ),
     # document fingerprinting: sha256 + md5 (raw and lowercased) + translate
+    # + polynomial rolling hash over token hashes (order-sensitive — equal
+    # only for documents with the same token SEQUENCE; mod 2^31-1 keeps
+    # every intermediate exact in BIGINT on both engines)
     "scalar_hash_translate": (
         """SELECT doc_id, SHA2(text, 256) AS sha, MD5(text) AS md5h,
                   MD5(LOWER(text)) AS fp_lower,
-                  TRANSLATE(lang, 'aeiou', 'AEIOU') AS lang_t
+                  TRANSLATE(lang, 'aeiou', 'AEIOU') AS lang_t,
+                  aggregate(
+                    transform(split(text, ' '),
+                      t -> CAST(conv(substr(md5(t), 18, 15), 16, 10) AS BIGINT) % 2147483647),
+                    CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 2147483647) AS rollhash31
            FROM documents""",
         """SELECT doc_id, SHA256(text) AS sha, MD5(text) AS md5h,
                   MD5(LOWER(text)) AS fp_lower,
-                  TRANSLATE(lang, 'aeiou', 'AEIOU') AS lang_t
+                  TRANSLATE(lang, 'aeiou', 'AEIOU') AS lang_t,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ' '),
+                        t -> CAST(('0x' || substr(md5(t), 18, 15)) AS BIGINT) % 2147483647)),
+                    (a, b) -> (a * 31 + b) % 2147483647) AS rollhash31
            FROM documents""",
     ),
     "langid_heuristic": (
