@@ -175,17 +175,17 @@ def near_dup_groups(spark, table: str = "documents",
     from .pipeline import connected_components
 
     bands = spark.sql(minhash_doc_bands_sql(SPARK, table, n_hashes, n_bands))
-    members = (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    # star edges via MIN-agg + re-join, NOT collect_set: a boilerplate-heavy
+    # corpus has degenerate buckets with millions of members, and a
+    # collected member array would land on a single reducer; the agg+join
+    # form is linear per bucket and AQE skew-splits the hot bucket join
+    mins = bands.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").cast("long").alias("src"), F.count("*").alias("n")
     )
     edges = (
-        members.select(
-            F.element_at("ids", 1).cast("long").alias("src"),
-            F.explode(F.slice("ids", 2, F.size("ids") - 1)).alias("dst"),
-        )
-        .select("src", F.col("dst").cast("long").alias("dst"))
+        bands.join(mins.filter("n > 1"), ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").cast("long").alias("dst"))
         .distinct()
     )
     verts = (
