@@ -426,19 +426,24 @@ def alias_edges(alias_df: DataFrame) -> DataFrame:
     a chain: a k-member group contributes diameter ≤ 2 instead of k-1, so
     min-label propagation converges in O(#overlapping groups) rounds rather
     than O(largest group) — a 30-entity shared alias was one `max_iter`
-    away from silently wrong labels (round-1 verdict)."""
-    members = (
-        alias_df.withColumn("alias_norm", _norm_col(F.col("alias")))
-        .groupBy("alias_norm")
-        .agg(F.array_sort(F.collect_set("entity_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    away from silently wrong labels (round-1 verdict).
+
+    Built as MIN-agg + re-join, not collect_set: this is the
+    beyond-broadcast-dictionary path, where a pathological shared alias
+    ("inc", "news") can have millions of members — a collected member array
+    would land on one reducer, while the agg+join form stays linear per
+    group and AQE skew-splits the hot join."""
+    normed = alias_df.select(
+        _norm_col(F.col("alias")).alias("alias_norm"),
+        F.col("entity_id").cast("long").alias("entity_id"),
+    ).distinct()
+    mins = normed.groupBy("alias_norm").agg(
+        F.min("entity_id").alias("src"), F.count("*").alias("n")
     )
     return (
-        members.select(
-            F.element_at("ids", 1).cast("long").alias("src"),
-            F.explode(F.slice("ids", 2, F.size("ids") - 1)).alias("dst"),
-        )
-        .select("src", F.col("dst").cast("long").alias("dst"))
+        normed.join(mins.filter("n > 1"), "alias_norm")
+        .filter(F.col("entity_id") != F.col("src"))
+        .select("src", F.col("entity_id").alias("dst"))
         .distinct()
     )
 
