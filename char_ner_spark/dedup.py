@@ -174,7 +174,12 @@ def near_dup_groups(spark, table: str = "documents",
 
     from .pipeline import connected_components
 
-    bands = spark.sql(minhash_doc_bands_sql(SPARK, table, n_hashes, n_bands))
+    # the band plan (shingling + n_hashes MIN-aggs over the corpus) feeds
+    # mins, the edge join, and CC — materialize once, don't recompute per
+    # consumer
+    bands = spark.sql(
+        minhash_doc_bands_sql(SPARK, table, n_hashes, n_bands)
+    ).localCheckpoint()
     # star edges via MIN-agg + re-join, NOT collect_set: a boilerplate-heavy
     # corpus has degenerate buckets with millions of members, and a
     # collected member array would land on a single reducer; the agg+join
@@ -187,7 +192,7 @@ def near_dup_groups(spark, table: str = "documents",
         .filter(F.col("doc_id") != F.col("src"))
         .select("src", F.col("doc_id").cast("long").alias("dst"))
         .distinct()
-    )
+    ).localCheckpoint()  # feeds verts (two scans) + the CC edge set
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))

@@ -260,8 +260,12 @@ _SESSIONIZE = """
 # word-trigram shingle Jaccard near-dup pairs (e4 fixed-point, threshold 0.2):
 # see _fn_ngram_jaccard; tokens are split ONCE (Catalyst re-evaluates a
 # `split()` inside every lambda element access otherwise — measured 8× on the
-# shingle stage).
-_NJ_CALL_SEQ = 0
+# shingle stage). itertools.count: next() is atomic under the GIL, so
+# overlapped driver threads can never derive the same view namespace (a
+# bare global += was a read-modify-write race).
+import itertools as _it
+
+_NJ_CALL_SEQ = _it.count(1)
 
 
 def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
@@ -284,9 +288,7 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
     # or repeated invocations (different docs_table args, overlapped driver
     # threads) clobber each other's intermediates mid-plan; views are
     # dropped after the final plan resolves (Spark analyzes eagerly)
-    global _NJ_CALL_SEQ
-    _NJ_CALL_SEQ += 1
-    v = f"nj{_NJ_CALL_SEQ}"
+    v = f"nj{next(_NJ_CALL_SEQ)}"
     dd = spark.sql(
         f"""WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM {docs_table}),
         sh AS (
@@ -654,11 +656,17 @@ def _kg_gold_paths() -> dict[str, str]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from . import fixtures, linking, oracle, relations, spans, tagger, textops
     from .oracle import run_oracle
 
+    # cache key includes a fingerprint of every source module the golden
+    # run's semantics depend on: a stale /tmp file from a previous code
+    # revision would otherwise survive a semantic change and turn the
+    # driver's hash gate into a comparison against outdated gold
+    code_fp = _code_fp(oracle, fixtures, tagger, textops, linking, relations, spans)
     tmp = tempfile.gettempdir()
     paths = {
-        k: os.path.join(tmp, f"cns_kg_gold_{k}_{_KG_N_PAGES}.parquet")
+        k: os.path.join(tmp, f"cns_kg_gold_{k}_{_KG_N_PAGES}_{code_fp}.parquet")
         for k in ("triples", "mentions")
     }
     if not all(os.path.exists(p) for p in paths.values()):
@@ -868,6 +876,18 @@ def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_fp(*modules) -> str:
+    """Source fingerprint for staged-fixture cache keys (stale /tmp files
+    from a previous code revision must never survive a semantic change)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for mod in modules:
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def _media_fixture_path() -> str:
     """Stage the deterministic media fixture as a parquet file both engines
     read (Spark via spark.read.parquet, DuckDB via read_parquet)."""
@@ -876,9 +896,13 @@ def _media_fixture_path() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from . import multimodal
     from .multimodal import make_media_fixture
 
-    path = os.path.join(tempfile.gettempdir(), "char_ner_spark_media_fixture.parquet")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"char_ner_spark_media_fixture_{_code_fp(multimodal)}.parquet",
+    )
     if not os.path.exists(path):
         # atomic stage: a killed/concurrent first writer must never leave a
         # half-written parquet at the final path (exists() would then skip
@@ -927,9 +951,13 @@ def _media_duck_sql() -> str:
 def _conll_fixture_path() -> str:
     import tempfile
 
+    from . import sources
     from .sources import write_conll_fixture
 
-    path = os.path.join(tempfile.gettempdir(), "char_ner_spark_conll_fixture.txt")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"char_ner_spark_conll_fixture_{_code_fp(sources)}.txt",
+    )
     if not os.path.exists(path):
         tmp = f"{path}.tmp.{os.getpid()}"  # atomic stage (see media fixture)
         write_conll_fixture(tmp, n_sents=120, seed=42)

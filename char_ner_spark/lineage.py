@@ -193,7 +193,16 @@ def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int,
     meta = _snapshot_dir(out_dir)
     os.makedirs(meta, exist_ok=True)
     prev = current_snapshot(out_dir)
-    n = (prev["snapshot_id"] + 1) if prev else 0
+    # next id = max EXISTING file + 1, not pointer + 1: after a crash between
+    # writing snapshot-N.json and flipping `current` (pointer still N-1),
+    # pointer+1 would silently REWRITE snapshot-N.json — snapshots are
+    # immutable history (time-travel readers may pin N)
+    existing = [
+        int(f[len("snapshot-"):-len(".json")])
+        for f in os.listdir(meta)
+        if f.startswith("snapshot-") and f.endswith(".json")
+    ]
+    n = (max(existing) + 1) if existing else 0
     if add_part is not None:
         base = prev["manifest"] if prev else []
         parts = sorted(

@@ -400,7 +400,11 @@ def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame],
         best = best_links(surfaces, alias_tables)
     raw_map = _raw_winner_map(surfaces, best).localCheckpoint()
     # materialized ONCE — it feeds two broadcast joins, and broadcasting a
-    # plan re-executes it per join otherwise
+    # plan re-executes it per join otherwise. Lifetime: these per-call
+    # localCheckpoint caches (surfaces + raw_map, both tiny distinct-surface
+    # tables) are released by Spark's ContextCleaner once the unit's plan
+    # references are dropped (run_partitioned drops them with each unit), so
+    # K~10k resumable units don't accumulate blocks for the session lifetime
     nxt = F.broadcast(
         raw_map.select(
             F.col("surface").alias("next_surface"),

@@ -102,7 +102,15 @@ def sessionize_stream(
             ts = int(ts)
             if last_ts is None or ts - last_ts > gap_s:
                 n += 1
-            last_ts = ts
+                last_ts = ts
+            elif ts > last_ts:
+                last_ts = ts
+            # ts <= last_ts: a cross-micro-batch LATE event. State must stay
+            # monotone — regressing last_ts would let the next on-time event
+            # fake a session split (batch-oracle divergence). The late event
+            # is attributed to the current session without extending it;
+            # exact gap-sessionization of arbitrarily late data is a batch
+            # concern (sessionize_events oracle), not a streaming-state one.
         state.update((last_ts, n))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_sessions": [n], "last_ts": [last_ts]}

@@ -341,3 +341,38 @@ def test_snapshot_pointer_healed_on_resume(spark, corpus):
         assert lineage.read_triples(spark, d).count() == full
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshots_are_immutable_after_pointer_rewind(spark, corpus):
+    """write_snapshot allocates ids past every EXISTING file: after a crash
+    leaves an orphan snapshot-N.json with the pointer at N-1, the next
+    commit must create snapshot-(N+1), never rewrite snapshot-N (readers
+    may pin N for time travel)."""
+    import json
+
+    from char_ner_spark import lineage
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d = tempfile.mkdtemp()
+    try:
+        lineage.run_partitioned(spark, pages, alias, d, n_parts=2)
+        meta = os.path.join(d, "metadata")
+        ids = sorted(
+            int(f[len("snapshot-"):-len(".json")])
+            for f in os.listdir(meta) if f.startswith("snapshot-")
+        )
+        top = ids[-1]
+        orphan_path = os.path.join(meta, f"snapshot-{top}.json")
+        orphan_bytes = open(orphan_path, "rb").read()
+        # crash window: snapshot-top exists but pointer rewound to top-1
+        with open(os.path.join(meta, "current"), "w") as f:
+            f.write(str(top - 1))
+        n = lineage.write_snapshot(spark, d, n_parts=2)
+        assert n == top + 1                      # appended, not reused
+        assert open(orphan_path, "rb").read() == orphan_bytes  # untouched
+        assert json.load(open(os.path.join(meta, f"snapshot-{n}.json")))[
+            "parent_id"
+        ] == top - 1                             # parent = committed pointer
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

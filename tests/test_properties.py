@@ -88,14 +88,23 @@ def test_normalize_surface_idempotent(s):
 @given(st.text(max_size=4000), st.integers(16, 64))
 def test_split_sentences_bounds_and_coverage(text, max_len):
     sents = textops.split_sentences(text, max_len=max_len)
+    joined = "".join(sents)
     for s in sents:
         assert 0 < len(s) <= max_len
     # no content characters are lost: the splitter may only drop whitespace
-    # and sentence terminators standing alone (a bare '?' is not a sentence)
+    # and REDUNDANT terminators (a .!? not preceded by a non-terminator char
+    # — '...' keeps one dot, a bare '?' is not a sentence). Terminators that
+    # close real content ('U.S.' has two) must all survive.
     def content(s: str) -> list[str]:
         return sorted(c for c in s if not c.isspace() and c not in ".!?")
 
-    assert content("".join(sents)) == content(text)
+    assert content(joined) == content(text)
+    kept_terms = sum(c in ".!?" for c in joined)
+    expected_terms = sum(
+        c in ".!?" and i > 0 and text[i - 1] not in ".!?"
+        for i, c in enumerate(text)
+    )
+    assert kept_terms == expected_terms
 
 
 @settings(max_examples=60)

@@ -181,3 +181,42 @@ def test_dedup_pages_stream_across_microbatches(spark, pages_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_sessionize_stream_late_event_never_regresses_state(spark):
+    """A cross-micro-batch LATE event (older than the state's last_ts) must
+    not rewind the session clock: before the fix, last_ts regressed and the
+    next on-time event within the true session faked a session split."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp()
+    ck = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "events")
+        t0 = 1_700_000_000
+        # batch 1: two events 600s apart (one session, last_ts = t0+600)
+        b1 = pd.DataFrame({"user_id": [1, 1], "ts_epoch": [t0, t0 + 600]})
+        # batch 2: a LATE event (t0+100, inside the session) then an on-time
+        # event at t0+1200 — still within gap of t0+600, so ONE session total
+        b2 = pd.DataFrame({"user_id": [1, 1], "ts_epoch": [t0 + 100, t0 + 1200]})
+        for i, b in enumerate((b1, b2)):
+            b["ts"] = pd.to_datetime(b.ts_epoch, unit="s")
+            spark.createDataFrame(b[["user_id", "ts"]]).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        res = ST.run_stream_to_memory(
+            spark, ST.sessionize_stream(stream, gap_s=1800), "sess_late", ck
+        ).toPandas()
+        final = res.sort_values("last_ts").groupby("user_id").n_sessions.last()
+        assert final[1] == 1          # regression bug produced 2
+        # state clock is monotone: the late event never became last_ts
+        assert res.last_ts.max() == t0 + 1200
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
