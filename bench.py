@@ -75,14 +75,25 @@ def main() -> int:
     pages_dir, alias = ensure_corpus(spark, sf)
     pages = spark.read.parquet(pages_dir)
     n_pages = pages.count()
-    kg_sec, n_triples = None, 0
-    for _ in range(repeats):
+    kg_runs: list[float] = []
+    n_triples = 0
+    while True:
         t0 = time.time()
         out = run_pipeline(spark, pages, alias)
         n_triples = out["triples"].count()
-        dt = time.time() - t0
+        kg_runs.append(time.time() - t0)
         out["mentions"].unpersist()
-        kg_sec = dt if kg_sec is None else min(kg_sec, dt)
+        if len(kg_runs) < repeats:
+            continue
+        # adaptive extra run: when the samples disagree >1.5x, a noise spike
+        # hit at least one of them — buy one more sample (bounded at +1)
+        if (
+            len(kg_runs) == repeats
+            and max(kg_runs) > 1.5 * min(kg_runs)
+        ):
+            continue
+        break
+    kg_sec = min(kg_runs)
     times["kg_pipeline"] = round(kg_sec, 3)
 
     # --- relational / text headline queries ---

@@ -37,16 +37,21 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-_REGISTERED: dict[tuple[int, str], bool] = {}
+# WeakKeyDictionary, not id(spark)-keyed dict: a GC'd session's address can
+# be reused by a new SparkSession, which would then silently skip view
+# registration (same stale-cache class as the round-1 broadcast-cache bug)
+from weakref import WeakKeyDictionary
+
+_REGISTERED: "WeakKeyDictionary[SparkSession, set[str]]" = WeakKeyDictionary()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
-    if _REGISTERED.get(key):
+    done = _REGISTERED.setdefault(spark, set())
+    if sf_dir in done:
         return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    _REGISTERED[key] = True
+    done.add(sf_dir)
 
 
 _REV_CENTS = "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
