@@ -102,3 +102,30 @@ def test_near_dup_groups_cluster_and_singletons(sdocs):
     assert got[0] == got[1] == 0              # near-dups (1 token apart) too
     for d in (4, 5, 6, 7):                    # unrelated / shingle-less docs
         assert got[d] == d                    # keep themselves
+
+
+def test_near_dup_groups_degenerate_hot_bucket(spark):
+    """A boilerplate corpus where MANY docs are identical forms one giant
+    LSH bucket; the min-agg star-edge path must cluster all of them to the
+    min doc_id without materializing per-bucket member arrays (the 100 TB
+    hot-bucket case), while distinct docs stay singletons."""
+    import pandas as pd
+
+    from char_ner_spark.dedup import near_dup_groups
+
+    n_hot = 200
+    rows = [(i, "exact same boilerplate footer text repeated everywhere") for i in range(n_hot)]
+    # truly disjoint token sets per doc (a shared suffix would make these
+    # legitimate near-dups — most word-trigram shingles would collide)
+    rows += [
+        (1000 + i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(10)
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).createOrReplaceTempView("hot_docs")
+    got = {
+        int(r.doc_id): int(r.keep_doc_id)
+        for r in near_dup_groups(spark, table="hot_docs").collect()
+    }
+    assert all(got[i] == 0 for i in range(n_hot))          # one cluster, min keeper
+    assert all(got[1000 + i] == 1000 + i for i in range(10))  # singletons
