@@ -8,6 +8,10 @@ Provides:
   - ``stream_mention_counts``: the same tagger UDF applied to a stream
     (mapInPandas works unchanged on streaming DataFrames) → per-window
     mention counts, exactly-once via checkpoint dir.
+  - ``stream_triples``: the FULL pipeline per micro-batch (foreachBatch),
+    batch_id-partitioned parquet with dynamic-overwrite exactly-once.
+  - ``dedup_pages_stream`` / ``sessionize_stream``: stateful operators
+    (bounded dedup state; applyInPandasWithState gap sessionizer).
 
 Both run with ``trigger(availableNow=True)`` in tests: process everything
 currently available, then stop — deterministic, no wall-clock dependence.
@@ -143,3 +147,55 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_triples(
+    spark: SparkSession,
+    pages_dir: str,
+    alias_pdf,
+    out_dir: str,
+    checkpoint_dir: str,
+    salt: int = 16,
+):
+    """The FULL KG pipeline as a stream: pages file-source → foreachBatch
+    running the same batch stages (fused extract+tag → link → canonicalize →
+    triples) → parquet partitioned by micro-batch id.
+
+    Exactly-once: the write is keyed by ``batch_id`` with dynamic partition
+    overwrite, so a micro-batch replayed after a crash (the streaming
+    checkpoint re-delivers it) overwrites ITS OWN partition instead of
+    appending duplicates — the parquet output converges to exactly one copy
+    per batch regardless of retries. Dictionary-side state (alias tables +
+    canonical map) is built once and shared across all micro-batches, the
+    streaming analog of run_partitioned's unit-invariant dict state.
+
+    Returns the drained-stream StreamingQuery's final triples DataFrame
+    (read back from out_dir).
+    """
+    from .pipeline import build_dictionary_state, extract_triples, link_pairs, middles_table, tag_pages
+
+    dict_state = build_dictionary_state(spark, alias_pdf)
+    alias_tables = {"exact": dict_state["exact"], "bands": dict_state["bands"]}
+    middles = middles_table(spark)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        mentions = tag_pages(batch_df, salt=salt)
+        linked = link_pairs(mentions, alias_tables, alias_pdf=alias_pdf)
+        triples = extract_triples(linked, dict_state["canon"], middles)
+        (
+            triples.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_pages(spark, pages_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

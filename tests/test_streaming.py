@@ -220,3 +220,36 @@ def test_sessionize_stream_late_event_never_regresses_state(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_stream_triples_matches_batch_pipeline(spark):
+    """Full KG pipeline as a stream (foreachBatch, batch_id-partitioned
+    exactly-once writes): union of micro-batch triples == the batch
+    pipeline's triples on the same corpus."""
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+    from char_ner_spark.pipeline import run_pipeline
+
+    alias = make_alias_table(60, seed=42)
+    pdf = make_pages(40, seed=42, alias_df=alias)
+    d = tempfile.mkdtemp()
+    ck = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "pages")
+        # two files → two micro-batches under maxFilesPerTrigger default
+        spark.createDataFrame(pdf.iloc[:20]).coalesce(1).write.mode("overwrite").parquet(src)
+        spark.createDataFrame(pdf.iloc[20:]).coalesce(1).write.mode("append").parquet(src)
+        got = ST.stream_triples(
+            spark, src, alias, os.path.join(d, "triples_out"), ck
+        ).toPandas()
+        assert got.batch_id.nunique() >= 1
+        want = run_pipeline(
+            spark, spark.createDataFrame(pdf), alias
+        )["triples"].toPandas()
+        key = ["subj", "pred", "obj", "url", "sent_idx"]
+        assert set(map(tuple, got[key].itertuples(index=False))) == set(
+            map(tuple, want[key].itertuples(index=False))
+        )
+        assert len(got) == len(want)  # no cross-batch duplicate triples
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
