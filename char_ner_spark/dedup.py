@@ -45,7 +45,7 @@ def _tokens_cte(table: str, dialect: str) -> str:
     return f"SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {table}"
 
 
-def _shingles_cte(table: str, dialect: str) -> str:
+def shingles_cte(table: str, dialect: str) -> str:
     """Word-trigram shingles (drops docs with < 3 tokens on both engines)."""
     if dialect == SPARK:
         return f"""
@@ -118,7 +118,7 @@ def minhash_doc_bands_sql(
         for b in range(n_bands)
     )
     return f"""
-        WITH sh AS ({_shingles_cte(table, dialect)}),
+        WITH sh AS ({shingles_cte(table, dialect)}),
         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
         sig AS (
             SELECT doc_id,

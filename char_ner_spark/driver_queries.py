@@ -32,6 +32,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .dedup import DUCK, SPARK, minhash_bands_sql, shingles_cte, simhash_sql
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -295,12 +297,7 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
     # dropped after the final plan resolves (Spark analyzes eagerly)
     v = f"nj{next(_NJ_CALL_SEQ)}"
     dd = spark.sql(
-        f"""WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM {docs_table}),
-        sh AS (
-          SELECT doc_id, explode(transform(sequence(1, size(t) - 2),
-                 i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-                                element_at(t, i + 2)))) AS shingle
-          FROM toks WHERE size(t) >= 3),
+        f"""WITH sh AS ({shingles_cte(docs_table, SPARK)}),
         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
         df AS (SELECT shingle, COUNT(*) AS c FROM d GROUP BY shingle)
         SELECT d.doc_id, d.shingle, df.c
@@ -370,12 +367,10 @@ def _fn_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return ngram_jaccard_pairs(spark)
 
-_NGRAM_JACCARD_DUCK = """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-      FROM toks),
+# the shingle definition is shared with dedup.py (one source of truth for
+# both the production dedup operators and this verification query + oracle)
+_NGRAM_JACCARD_DUCK = f"""
+    WITH sh AS ({shingles_cte('documents', DUCK)}),
     d AS (SELECT DISTINCT doc_id, shingle FROM sh),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
     common AS (
@@ -584,8 +579,6 @@ PAIRED_SQL: dict[str, tuple[str, str]] = {
 # crossings, whole-stage codegen end to end (the NumPy MinHash in textops
 # remains the alias-LSH *linking* implementation, where signatures feed
 # Python scoring anyway).
-from .dedup import DUCK, SPARK, minhash_bands_sql, simhash_sql  # noqa: E402
-
 PAIRED_SQL["minhash_dedup_buckets"] = (
     minhash_bands_sql(SPARK), minhash_bands_sql(DUCK)
 )

@@ -107,6 +107,11 @@ def make_pages(
             if rng.uniform() < 0.6 and len(pool) >= 2:
                 i, j = rng.randint(len(pool)), rng.randint(len(pool))
                 if pool.entity_id.iloc[i] == pool.entity_id.iloc[j]:
+                    # best-effort nudge only: the next pool row is often
+                    # ANOTHER ALIAS OF THE SAME ENTITY (alias rows are
+                    # adjacent), so self-relations do occur — deliberately
+                    # kept, web text contains them and oracle + engine must
+                    # handle them identically (and are tested to)
                     j = (j + 1) % len(pool)
                 mid = middles[rng.randint(len(middles))]
                 sents.append(f"{pool.alias.iloc[i]}{mid}{pool.alias.iloc[j]}.")

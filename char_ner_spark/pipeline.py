@@ -99,7 +99,16 @@ def _tag_pdf(pdf: pd.DataFrame,
     (lang → parameter dict, e.g. loaded from .npz) overrides the seeded
     weights — the reference's stored-model inference path."""
     out: dict[str, list] = {f.name: [] for f in _MENTION_SCHEMA.fields}
-    for lang, grp in pdf.groupby("lang", sort=True):
+    # dropna=False: pandas' default silently SKIPS the NaN group — pages with
+    # missing lang metadata would vanish from the mention stream without a
+    # trace, contradicting the fail-loudly contract enforced just below
+    for lang, grp in pdf.groupby("lang", sort=True, dropna=False):
+        if lang is None or (isinstance(lang, float) and pd.isna(lang)):
+            raise ValueError(
+                f"{len(grp)} page(s) have null lang (e.g. url="
+                f"{grp['url'].iloc[0]!r}); per-lang model dispatch requires "
+                "a language tag — filter or backfill lang upstream"
+            )
         # split every page of this lang, tag all sentences in one batch
         # (cross-page batching = big uniform GEMMs, the engine's analog
         # of the reference's sort-by-length batching)
@@ -215,7 +224,11 @@ def _norm_col(c):
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _bands_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda x: textops.minhash_bands(x) if x else [])
+    # None → no bands; but an EMPTY normalized surface gets its (degenerate)
+    # bands like any other — AliasIndex computes minhash_bands('') too, and
+    # an `if x else []` here made the LSH path unable to link surfaces that
+    # normalize empty while the broadcast/oracle path could (path divergence)
+    return s.map(lambda x: textops.minhash_bands(x) if x is not None else [])
 
 
 @F.pandas_udf(T.DoubleType())
@@ -235,8 +248,12 @@ def _cand_score_udf(surface_norm: pd.Series, alias_norm: pd.Series,
 
 
 def alias_spark_tables(spark: SparkSession, alias_pdf: pd.DataFrame) -> dict[str, DataFrame]:
-    """Alias dictionary → (exact, bands) Spark tables. Both broadcast-sized
-    by contract (north_rule: 'broadcast alias dictionary')."""
+    """Alias dictionary → banded LSH join table (broadcast-sized by contract,
+    north_rule: 'broadcast alias dictionary'). One table serves exact AND
+    fuzzy candidates: equal normalized surfaces have identical MinHash
+    signatures, so every exact match is a guaranteed band collision — a
+    separate exact-join table would be dead plumbing (nothing consumed the
+    one this function used to emit)."""
     norm = alias_pdf["alias"].map(textops.normalize_surface)
     exact_pdf = pd.DataFrame(
         {
@@ -252,10 +269,7 @@ def alias_spark_tables(spark: SparkSession, alias_pdf: pd.DataFrame) -> dict[str
     bands_pdf = pd.DataFrame(
         band_rows, columns=["band_idx", "band_hash", "alias_norm", "entity_id", "prior"]
     )
-    return {
-        "exact": spark.createDataFrame(exact_pdf),
-        "bands": spark.createDataFrame(bands_pdf),
-    }
+    return {"bands": spark.createDataFrame(bands_pdf)}
 
 
 def link_mentions(mentions: DataFrame, alias_tables: dict[str, DataFrame]) -> DataFrame:
@@ -305,9 +319,19 @@ def best_links(surfaces: DataFrame, alias_tables: dict[str, DataFrame]) -> DataF
         .distinct()
         .withColumn("cand_score", _cand_score_udf("surface_norm", "alias_norm", "prior"))
         .filter(F.col("cand_score").isNotNull())
-        .select("surface_norm", "entity_id", "cand_score")
+        .withColumn(
+            "is_exact", (F.col("surface_norm") == F.col("alias_norm")).cast("int")
+        )
+        .select("surface_norm", "entity_id", "cand_score", "is_exact")
     )
-    w = Window.partitionBy("surface_norm").orderBy(F.desc("cand_score"), F.asc("entity_id"))
+    # rank exact candidates strictly above fuzzy ones, NOT by score alone:
+    # AliasIndex.link ignores fuzzy entirely when an exact hit exists, and
+    # "exact_score >= 1.0 >= fuzzy_score" ties at the knife edge (exact
+    # prior 0 vs jaccard-1.0 fuzzy prior 1 both score 1.0) — score-only
+    # ordering could then pick the fuzzy row the oracle never considers
+    w = Window.partitionBy("surface_norm").orderBy(
+        F.desc("is_exact"), F.desc("cand_score"), F.asc("entity_id")
+    )
     return (
         cands.withColumn("rk", F.row_number().over(w))
         .filter("rk = 1")
@@ -329,6 +353,26 @@ def _alias_fingerprint(alias_pdf: pd.DataFrame) -> str:
     return f"{len(alias_pdf)}-{int(h.sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
+_ALIAS_BC_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _alias_broadcast(spark: SparkSession, alias_pdf: pd.DataFrame):
+    """Driver-side cache of the dictionary broadcast, keyed by
+    (applicationId, content fingerprint): run_partitioned calls the link
+    stage once per work unit (K ~ 10k), and re-broadcasting the identical
+    dictionary per unit is pure wasted shipment. applicationId in the key
+    keeps a restarted SparkContext from resurrecting a dead broadcast."""
+    fp = _alias_fingerprint(alias_pdf)
+    key = (spark.sparkContext.applicationId, fp)
+    bc = _ALIAS_BC_CACHE.get(key)
+    if bc is None:
+        if len(_ALIAS_BC_CACHE) >= 4:  # bound driver-held broadcasts
+            _ALIAS_BC_CACHE.clear()
+        bc = spark.sparkContext.broadcast(alias_pdf)
+        _ALIAS_BC_CACHE[key] = bc
+    return bc, fp
+
+
 def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
                          alias_pdf: pd.DataFrame) -> DataFrame:
     """Per-surface winners via a broadcast AliasIndex probe — ONE stage.
@@ -338,8 +382,7 @@ def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
     the (tiny, Zipf-deduped) distinct-surface set, probing the exact same
     AliasIndex the oracle uses. :func:`best_links` remains the distributed
     LSH-join path for dictionaries beyond broadcast size (tested equal)."""
-    bc = spark.sparkContext.broadcast(alias_pdf)
-    fp = _alias_fingerprint(alias_pdf)  # computed on the driver, shipped in closure
+    bc, fp = _alias_broadcast(spark, alias_pdf)  # fp ships in the closure
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .linking import AliasIndex
@@ -657,7 +700,7 @@ def run_pipeline(
             f_tag = pool.submit(mentions.count)
             dict_state = f_dict.result()
             f_tag.result()
-    alias_tables = {"exact": dict_state["exact"], "bands": dict_state["bands"]}
+    alias_tables = {"bands": dict_state["bands"]}
     canon = dict_state["canon"]
     # linked is NOT persisted: it is two broadcast joins over the persisted
     # mentions, so recomputation (for the mention/link sinks) is cheap

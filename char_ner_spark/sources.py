@@ -4,12 +4,17 @@ reconstructed; §0 provenance).
 
 CoNLL files are whitespace-separated columns, one token per line, first
 column = token, last column = NER tag, blank line = sentence boundary.
-The Spark mapping: read lines with ids → mark blanks → running-count window
-assigns sentence ids → group + collect_list reassembles sentences. The
-window partitions by source FILE (sharded corpora parallelize across
-files; sentence ids are per-file, with the file path carried alongside) —
-only a single-file read degenerates to one window partition, which is the
-reference's own sequential-parse semantics.
+The Spark mapping: read each file whole (one row per file — line order is
+then a POSITION from split/posexplode, not an ordering assumption) → mark
+blanks → running-count window assigns sentence ids → group + collect_list
+reassembles sentences. The window partitions by source FILE (sharded
+corpora parallelize across files; sentence ids are per-file, with the file
+path carried alongside). A line-oriented read with
+monotonically_increasing_id was rejected: for a file larger than one input
+split, within-file order across splits rests on an UNSPECIFIED partition-
+packing detail — any change silently scrambles sentences. Whole-file rows
+bound per-task memory by the largest shard, which matches CoNLL reality
+(megabytes) and the reference's own sequential parse.
 """
 
 from __future__ import annotations
@@ -28,13 +33,20 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     Mirrors the reference's get_sents: col0 = token, last col = tag,
     blank line ends a sentence; '-DOCSTART-' lines are dropped
     (CoNLL-2003 convention)."""
+    # binaryFile source, NOT the text source: Spark 4.1's GenerateExec
+    # computes posexplode positions (and transform lambda indexes) as 0 over
+    # the non-batched text scan — a measured codegen defect — while the
+    # batched binaryFile scan yields correct positions. One row per file,
+    # so line_id is an exact in-file position by construction.
     lines = (
-        spark.read.text(path)
+        spark.read.format("binaryFile").load(path)
         .select(
-            F.input_file_name().alias("file"),
-            F.monotonically_increasing_id().alias("line_id"),
-            F.trim(F.col("value")).alias("line"),
+            F.col("path").alias("file"),
+            F.posexplode(
+                F.split(F.decode("content", "UTF-8"), "\n")
+            ).alias("line_id", "raw"),
         )
+        .select("file", "line_id", F.trim(F.col("raw")).alias("line"))
     )
     w = Window.partitionBy("file").orderBy("line_id")
     sents = (

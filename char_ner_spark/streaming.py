@@ -175,7 +175,7 @@ def stream_triples(
     from .pipeline import build_dictionary_state, extract_triples, link_pairs, middles_table, tag_pages
 
     dict_state = build_dictionary_state(spark, alias_pdf)
-    alias_tables = {"exact": dict_state["exact"], "bands": dict_state["bands"]}
+    alias_tables = {"bands": dict_state["bands"]}
     middles = middles_table(spark)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -198,4 +198,16 @@ def stream_triples(
         .start()
     )
     q.awaitTermination()
+    # a corpus yielding zero triples (or zero micro-batches) writes no
+    # parquet data files; read.parquet would then fail schema inference even
+    # though the stream itself succeeded — return a typed empty frame
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(out_dir, "**", "*.parquet"), recursive=True):
+        return spark.createDataFrame(
+            [],
+            "subj long, pred string, obj long, url string, sent_idx int, "
+            "conf double, batch_id long",
+        )
     return spark.read.parquet(out_dir)
