@@ -253,3 +253,33 @@ def test_stream_triples_matches_batch_pipeline(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_stream_triples_replay_converges_not_duplicates(spark):
+    """Wiping the checkpoint and re-draining the same source replays every
+    micro-batch with the same batch ids; the batch_id-partitioned dynamic
+    overwrite must CONVERGE the output (identical rows), never append
+    duplicates — the exactly-once claim under at-least-once delivery."""
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+
+    alias = make_alias_table(50, seed=42)
+    pdf = make_pages(20, seed=42, alias_df=alias)
+    d = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "pages")
+        out = os.path.join(d, "out")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+        first = ST.stream_triples(
+            spark, src, alias, out, os.path.join(d, "ck1")
+        ).toPandas()
+        # fresh checkpoint → full replay into the SAME out_dir
+        second = ST.stream_triples(
+            spark, src, alias, out, os.path.join(d, "ck2")
+        ).toPandas()
+        assert len(second) == len(first) > 0
+        key = ["subj", "pred", "obj", "url", "sent_idx", "batch_id"]
+        assert set(map(tuple, second[key].itertuples(index=False))) == set(
+            map(tuple, first[key].itertuples(index=False))
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
