@@ -40,8 +40,10 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each SQL-expressible query. The KG
     pipeline/tagger queries are hash-checked against a staged parquet of the
     single-process golden run; MinHash/SimHash run the same SQL template on
-    both engines. Only ann_lsh_topk stays rows-only (approximate by
-    design; pinned vs brute force in tests/test_similarity.py)."""
+    both engines. Every registry entry has an oracle: the ANN scale path
+    (ann_ivf_topk) runs IVF at full probe, provably ≡ brute force, so it
+    hash-checks against plain quantized-cosine SQL; the approximate
+    (pruned/LSH) behavior is pinned in tests/test_similarity.py."""
     from char_ner_spark.driver_queries import build_oracle_sql
 
     return build_oracle_sql()

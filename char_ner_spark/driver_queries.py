@@ -660,11 +660,21 @@ def _kg_gold_paths() -> dict[str, str]:
     # cache key includes a fingerprint of every source module the golden
     # run's semantics depend on: a stale /tmp file from a previous code
     # revision would otherwise survive a semantic change and turn the
-    # driver's hash gate into a comparison against outdated gold
-    code_fp = _code_fp(oracle, fixtures, tagger, textops, linking, relations, spans)
+    # driver's hash gate into a comparison against outdated gold.
+    # driver_queries itself is part of that closure (it defines the corpus
+    # size and the e6 projection), as are both corpus-size constants.
+    import sys
+
+    code_fp = _code_fp(
+        oracle, fixtures, tagger, textops, linking, relations, spans,
+        sys.modules[__name__],
+    )
     tmp = tempfile.gettempdir()
     paths = {
-        k: os.path.join(tmp, f"cns_kg_gold_{k}_{_KG_N_PAGES}_{code_fp}.parquet")
+        k: os.path.join(
+            tmp,
+            f"cns_kg_gold_{k}_{_KG_N_PAGES}x{_KG_N_ENTITIES}_{code_fp}.parquet",
+        )
         for k in ("triples", "mentions")
     }
     if not all(os.path.exists(p) for p in paths.values()):
@@ -788,28 +798,54 @@ _APPROX_DISTINCT_DUCK_SQL = """
 """
 
 
-def _fn_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine top-k through BOTH scale paths (rows-only):
-    hyperplane LSH buckets + multiprobe, and IVF cell-probe (spherical
-    k-means coarse quantizer). Exactness of each vs brute force is pinned
-    in tests/test_similarity.py; this query evidences the distributed
-    plumbing of both on the driver's embeddings table."""
+def _fn_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path, now hash-checked (was rows-only `ann_lsh_topk` in
+    r2): IVF cell-probe top-k at FULL probe (`nprobe == nlist`), where the
+    result provably equals brute force regardless of the trained centroids
+    — so the whole distributed IVF plumbing (driver-side spherical k-means
+    quantizer, Arrow-GEMM cell assignment, probe-cell explode, broadcast
+    candidate join, per-query rank window) is verified bit-for-bit against
+    plain quantized-cosine SQL in DuckDB. Scores are integer-exact e6
+    cosines over e3-quantized components (similarity.ivf_topk_e6). The
+    genuinely-approximate evidence (pruned probes, hyperplane-LSH banding)
+    is pinned in tests/test_similarity.py against this exact baseline."""
     from pyspark.sql import functions as F
 
-    from .similarity import ivf_topk, lsh_topk
+    from .similarity import ivf_topk_e6
 
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    lsh = lsh_topk(emb, queries, k=10, multiprobe=3).withColumn(
-        "method", F.lit("lsh")
-    )
-    ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).withColumn(
-        "method", F.lit("ivf")
-    )
-    return lsh.unionByName(ivf)
+    return ivf_topk_e6(emb, queries, k=10, nlist=16)
+
+
+_ANN_IVF_DUCK_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+      FROM embeddings WHERE vec_id < 5),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id,
+             CAST(ROUND(CAST(list_dot_product(qe, qq) AS DOUBLE) * 1000000.0
+                  / (SQRT(CAST(list_dot_product(qe, qe) AS DOUBLE))
+                   * SQRT(CAST(list_dot_product(qq, qq) AS DOUBLE)))) AS BIGINT)
+               AS cosine_e6
+      FROM v CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_e6,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine_e6 DESC, vec_id) AS BIGINT) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, cosine_e6, rk FROM ranked WHERE rk <= 10
+"""
 
 
 def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,7 +1175,7 @@ SPARK_FN: dict[
     "conll_reader_fixture": (_fn_conll_reader, _conll_duck_sql),
     "pivot_operator_native": (_fn_pivot_operator, _PIVOT_DUCK_SQL),
     "approx_distinct_counts": (_fn_approx_distinct, _APPROX_DISTINCT_DUCK_SQL),
-    "ann_lsh_topk": (_fn_ann_lsh_topk, None),
+    "ann_ivf_topk": (_fn_ann_ivf_topk, _ANN_IVF_DUCK_SQL),
     "ngram_jaccard_pairs": (_fn_ngram_jaccard, _NGRAM_JACCARD_DUCK),
 }
 

@@ -131,6 +131,70 @@ def lsh_topk(
     )
 
 
+# Integer-exact scoring (cross-engine hashable): components quantized to
+# e3 BIGINTs BEFORE the dot products so both Spark and any independent
+# engine (DuckDB oracle, numpy) sum exact integers; the final
+# divide/sqrt/round is one fixed IEEE-double expression evaluated
+# identically everywhere. Same recipe as the driver's
+# cosine_topk_embeddings gate (driver_queries._COSINE_TOPK_SPARK).
+_QUANT = "transform({c}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def ivf_topk_e6(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF top-k with integer-exact e6 cosine scores — the oracle-checkable
+    twin of ``ivf_topk``. Same physical plan (narrow cell-assignment map,
+    probe-cell explode, broadcast candidate join, per-query rank window);
+    only the scoring arithmetic differs, quantized so an independent engine
+    reproduces every bit. ``nprobe`` defaults to ``nlist`` (full probe),
+    where the result PROVABLY equals brute-force top-k regardless of the
+    centroids — that identity is what lets the driver hash-check this
+    distributed plumbing against plain quantized-cosine SQL. Pruned-probe
+    (approximate) behavior is pinned in tests/test_similarity.py."""
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, nlist=nlist)
+    if nprobe is None:
+        nprobe = nlist
+    v = (
+        vectors.select("vec_id", "embedding")
+        .withColumn("cell", _cell_col(centroids))
+        .selectExpr("vec_id", "cell", _QUANT.format(c="embedding") + " AS qe")
+        .selectExpr("vec_id", "cell", "qe", _IDOT.format(a="qe", b="qe") + " AS nv")
+    )
+    q = (
+        queries.select("query_id", "embedding")
+        .withColumn("cell", F.explode(_probe_cells_col(centroids, nprobe)))
+        .selectExpr("query_id", "cell", _QUANT.format(c="embedding") + " AS qq")
+        .selectExpr("query_id", "cell", "qq", _IDOT.format(a="qq", b="qq") + " AS nq")
+    )
+    cand = v.join(F.broadcast(q), "cell")
+    scored = cand.selectExpr(
+        "query_id",
+        "vec_id",
+        "CAST(ROUND(CAST(" + _IDOT.format(a="qe", b="qq") + " AS DOUBLE)"
+        " * 1000000.0 / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))))"
+        " AS BIGINT) AS cosine_e6",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_e6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "vec_id", "cosine_e6", F.col("rk").cast("long").alias("rk")
+        )
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     nlist: int = 16,

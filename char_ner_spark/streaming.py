@@ -19,6 +19,8 @@ currently available, then stop — deterministic, no wall-clock dependence.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -182,6 +184,16 @@ def stream_triples(
         mentions = tag_pages(batch_df, salt=salt)
         linked = link_pairs(mentions, alias_tables, alias_pdf=alias_pdf)
         triples = extract_triples(linked, dict_state["canon"], middles)
+        # dynamic partition overwrite only replaces partitions that RECEIVE
+        # rows — a replayed micro-batch that now yields zero triples would
+        # otherwise leave the stale batch_id partition from the earlier
+        # delivery in place. Drop this batch's partition explicitly first so
+        # the output converges to the replay's content even when empty.
+        import shutil as _shutil
+
+        _shutil.rmtree(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}"), ignore_errors=True
+        )
         (
             triples.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")

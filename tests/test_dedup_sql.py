@@ -83,7 +83,8 @@ def test_minhash_bands_cross_engine_and_recall(sdocs, duck):
     assert len(a) > 0
     # the exact-dup pair 2,3 must share ALL 8 bands; every bucket holds >1 doc
     raw = sdocs.sql(minhash_bands_sql(SPARK, table="dedup_docs")).toPandas()
-    both = raw[raw.doc_ids.str.contains("2") & raw.doc_ids.str.contains("3")]
+    ids = raw.doc_ids.str.split(",").apply(set)
+    both = raw[ids.apply(lambda xs: "2" in xs and "3" in xs)]
     assert len(both) >= 8
     assert (raw.n > 1).all()
     # docs without shingles (6: two tokens, 7: empty) never reach a bucket

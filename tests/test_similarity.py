@@ -149,6 +149,47 @@ def test_ivf_pruned_probe_recall(emb, queries):
             assert abs(exact_all[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
 
 
+def test_ivf_topk_e6_full_probe_equals_quantized_brute_force(emb, queries):
+    """The driver-gate variant: full-probe ivf_topk_e6 must equal a
+    numpy brute-force top-k over the SAME e3-quantized components and e6
+    rounding — the identity the DuckDB oracle of `ann_ivf_topk` rests on."""
+    import numpy as np
+
+    def half_up(v):  # SQL ROUND semantics (half away from zero)
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+    got = SIM.ivf_topk_e6(emb, queries, k=10, nlist=8).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = half_up(np.stack(pdf.embedding.to_numpy()).astype(np.float64) * 1000)
+    ids = pdf.vec_id.to_numpy()
+    norms = np.sqrt((X * X).sum(axis=1))
+    expect = {}
+    for q in range(5):
+        qi = int(np.nonzero(ids == q)[0][0])
+        cos_e6 = half_up(
+            (X @ X[qi]) * 1e6 / (norms * norms[qi])
+        ).astype(np.int64)
+        order = np.lexsort((ids, -cos_e6))[:10]
+        expect[q] = [(int(ids[i]), int(cos_e6[i])) for i in order]
+    for qid, grp in got.groupby("query_id"):
+        rows = [
+            (int(r.vec_id), int(r.cosine_e6))
+            for r in grp.sort_values("rk").itertuples()
+        ]
+        assert rows == expect[int(qid)], (qid, rows, expect[int(qid)])
+
+
+def test_ivf_topk_e6_pruned_subset_of_full(emb, queries):
+    """Pruned probes return a subset of candidates with identical e6 scores
+    wherever they overlap the full-probe ranking's universe."""
+    full = SIM.ivf_topk_e6(emb, queries, k=500, nlist=8, nprobe=8).toPandas()
+    pruned = SIM.ivf_topk_e6(emb, queries, k=10, nlist=8, nprobe=2).toPandas()
+    full_map = {(r.query_id, r.vec_id): r.cosine_e6 for r in full.itertuples()}
+    assert len(pruned) > 0
+    for r in pruned.itertuples():
+        assert full_map[(r.query_id, r.vec_id)] == r.cosine_e6
+
+
 def test_ivf_centroids_deterministic(emb):
     import numpy as np
 
