@@ -227,8 +227,18 @@ def _bands_udf(s: pd.Series) -> pd.Series:
     # None → no bands; but an EMPTY normalized surface gets its (degenerate)
     # bands like any other — AliasIndex computes minhash_bands('') too, and
     # an `if x else []` here made the LSH path unable to link surfaces that
-    # normalize empty while the broadcast/oracle path could (path divergence)
-    return s.map(lambda x: textops.minhash_bands(x) if x is not None else [])
+    # normalize empty while the broadcast/oracle path could (path divergence).
+    # already_norm: the input is _norm_col output ≡ normalize_surface (P4
+    # parity-tested), so the batch path skips re-normalization and runs one
+    # vectorized universal-hash pass over the whole Arrow batch.
+    import numpy as np
+
+    idx = np.flatnonzero(s.notna().to_numpy())
+    bands = textops.minhash_bands_batch(s.iloc[idx].tolist(), already_norm=True)
+    out: list[list[int]] = [[] for _ in range(len(s))]
+    for j, i in enumerate(idx):
+        out[i] = bands[j].tolist()
+    return pd.Series(out, index=s.index)
 
 
 @F.pandas_udf(T.DoubleType())
@@ -263,9 +273,14 @@ def alias_spark_tables(spark: SparkSession, alias_pdf: pd.DataFrame) -> dict[str
         }
     ).drop_duplicates()
     band_rows = []
-    for an, eid, prior in exact_pdf.itertuples(index=False):
-        for bi, bh in enumerate(textops.minhash_bands(an)):
-            band_rows.append((bi, bh, an, eid, prior))
+    all_bands = textops.minhash_bands_batch(
+        exact_pdf["alias_norm"].tolist(), already_norm=True
+    )
+    for (an, eid, prior), row_bands in zip(
+        exact_pdf.itertuples(index=False), all_bands
+    ):
+        for bi, bh in enumerate(row_bands):
+            band_rows.append((bi, int(bh), an, eid, prior))
     bands_pdf = pd.DataFrame(
         band_rows, columns=["band_idx", "band_hash", "alias_norm", "entity_id", "prior"]
     )

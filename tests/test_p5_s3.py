@@ -56,16 +56,87 @@ def test_extract_text_no_double_unescape():
 
 
 def test_minhash_arithmetic_exact():
-    """The universal-hash products must stay inside int64 (the 61-bit
+    """The universal-hash products must stay inside int64 (the old 61-bit
     modulus silently wrapped); verify vs arbitrary-precision Python ints."""
-    import numpy as np
-
     from char_ner_spark import textops as TX
 
     grams = TX.char_ngrams("steveldu corp")
     sig = TX.minhash_signature(grams)
-    xs = sorted((TX._hash_token(g) & TX._MERSENNE) for g in grams)
+    xs = sorted(TX._gram_code(g) for g in grams)
     for i in range(TX.MINHASH_K):
         want = min((int(TX._MH_A[i]) * x + int(TX._MH_B[i])) % TX._MERSENNE
                    for x in xs)
         assert int(sig[i]) == want, i
+
+
+def test_gram_code_injective_over_alphabet():
+    """The base-39 gram code must be a PERFECT hash over the normalized
+    alphabet (incl. '#' padding and the degenerate 2-char '##' gram) —
+    collision-freedom is what lets it replace a cryptographic gram hash."""
+    import itertools
+
+    from char_ner_spark import textops as TX
+
+    alpha = TX._ALPHABET
+    seen = {}
+    for g in itertools.product(alpha, repeat=3):
+        code = TX._gram_code("".join(g))
+        assert code not in seen, (g, seen[code])
+        seen[code] = g
+    for a, b in itertools.product(alpha, repeat=2):
+        code = TX._gram_code(a + b)
+        assert code not in seen, (a, b, seen[code])
+        seen[code] = (a, b)
+
+
+def test_minhash_bands_batch_equals_per_row():
+    """The vectorized Arrow-batch banding must be bit-identical to the
+    single-surface path for every shape: empty, degenerate-normalizing,
+    unicode, long, duplicate-gram surfaces."""
+    from char_ner_spark import textops as TX
+
+    surfaces = [
+        "", "  ", "!!!", "Ankara", "ANKARA!!", "stäveldu corp",
+        "a", "ab", "the quick brown fox jumps over the lazy dog " * 5,
+        "aaaaaaaaaaaa", "New York City", "new york city",
+    ]
+    batch = TX.minhash_bands_batch(surfaces)
+    assert batch.shape == (len(surfaces), TX.MINHASH_BANDS)
+    for s, row in zip(surfaces, batch):
+        assert row.tolist() == TX.minhash_bands(s), s
+    # equal normalized surfaces ⇒ equal bands (exact-match collision law)
+    i, j = surfaces.index("New York City"), surfaces.index("new york city")
+    assert batch[i].tolist() == batch[j].tolist()
+    # normalized input short-circuit agrees with raw input
+    norm_batch = TX.minhash_bands_batch(
+        [TX.normalize_surface(s) for s in surfaces], already_norm=True
+    )
+    assert (norm_batch == batch).all()
+
+
+def test_minhash_bands_batch_speedup():
+    """The whole point of the batch path: ≥5× over the per-row loop on a
+    Zipf-ish distinct-surface workload (round-2 verdict item #3)."""
+    import random
+    import string
+    import time
+
+    from char_ner_spark import textops as TX
+
+    random.seed(1)
+    surfaces = [
+        "".join(random.choices(string.ascii_lowercase + "  ", k=random.randint(4, 24)))
+        for _ in range(20000)
+    ]
+    # warm at full size: the first large call pays one-time arena/page-fault
+    # cost (~2-3s for the 35 MB hash matrix) that steady-state reuse doesn't
+    TX.minhash_bands_batch(surfaces)
+    t0 = time.time()
+    batch = TX.minhash_bands_batch(surfaces)
+    t_batch = time.time() - t0
+    t0 = time.time()
+    loop = [TX.minhash_bands(s) for s in surfaces[:2000]]
+    t_loop = (time.time() - t0) * 10  # extrapolate the per-row loop
+    for row, want in zip(batch[:2000], loop):
+        assert row.tolist() == want
+    assert t_batch * 5 < t_loop, (t_batch, t_loop)

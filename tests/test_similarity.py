@@ -70,6 +70,50 @@ def test_cosine_near_dups_finds_self_duplicates(spark, emb):
     assert {(0, 10000), (1, 10001), (2, 10002)} <= got
 
 
+def test_banded_near_dup_candidates_shrink_hot_bucket(spark):
+    """Degenerate clustered corpus (the round-2 'hot bucket' weakness): 200
+    vectors all leaning on one direction, pairwise cosine ≈ 0.5 — BELOW the
+    dup threshold, so ideally none of those pairs would be scored. The old
+    single 6-bit table funnels ~(1-θ/π)^6 ≈ 7% of the N²/2 pairs through
+    the cosine filter (quadratic at corpus scale); the banded default
+    (16 bits × 8 tables) must shrink that geometrically (≈8·(1-θ/π)^16,
+    measured ~5×) while still catching planted near-dups at cosine ≥ 0.99
+    (recall across tables)."""
+    import numpy as np
+    import pandas as pd
+
+    from char_ner_spark.similarity import cosine_near_dups, near_dup_candidates
+
+    rng = np.random.RandomState(7)
+    u = rng.normal(0, 1, 64)
+    u /= np.linalg.norm(u)
+    noise = rng.normal(0, 1, (200, 64)) / np.sqrt(64)
+    V = u[None, :] + noise  # pairwise cosine ~ 1/(1+1) = 0.5
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    # plant 3 near-dup pairs: ids (1000+j) ≈ vector j
+    planted = V[:3] + 0.02 * rng.normal(0, 1, (3, 64)) / np.sqrt(64)
+    planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(200)) + [1000, 1001, 1002],
+            "embedding": [r.astype("float32") for r in V]
+            + [r.astype("float32") for r in planted],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    n_pairs = 203 * 202 // 2
+    old = near_dup_candidates(sdf, bits=6, tables=1).count()
+    new = near_dup_candidates(sdf).count()  # banded defaults
+    assert old > 0.05 * n_pairs, (old, n_pairs)  # the weakness, demonstrated
+    assert new < 0.02 * n_pairs, (new, n_pairs)  # geometric shrink
+    assert new * 3 < old, (new, old)
+
+    dups = cosine_near_dups(sdf, threshold=0.95).toPandas()
+    got = {(int(r.vec_a), int(r.vec_b)) for r in dups.itertuples()}
+    assert {(0, 1000), (1, 1001), (2, 1002)} <= got, got
+
+
 def test_ngram_jaccard_hot_shingle_correction_exact(spark):
     """With df_cap forced below real document frequencies, the hot-shingle
     correction join must restore the exact uncapped Jaccard for every pair
