@@ -56,11 +56,57 @@ def ensure_corpus(spark, sf: float) -> tuple[str, object]:
     return pages_dir, alias
 
 
+def record_sample(result: dict, loadavg_start: tuple) -> None:
+    """Append this run to BENCH/headline_samples.json (with load averages)
+    so future rounds can classify any single recorded sample mechanically —
+    the shared host swings ~4× on identical code+data (r1/r2 ledger), and
+    one driver sample landing in a degraded window must be readable as
+    host noise, not a code regression. Thresholds from the r2 ledger's
+    observed bands at sf0.1: healthy ≥ 12k triples/s, degraded < 6k."""
+    import datetime as _dt
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "headline_samples.json"
+    )
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        data = {"samples": []}
+    tps = result.get("triples_per_sec") or 0.0
+    if abs(result.get("sf", 0) - 0.1) < 1e-9:
+        window = "healthy" if tps >= 12000 else ("mixed" if tps >= 6000 else "degraded")
+    else:
+        window = f"n/a (sf={result.get('sf')})"
+    data.setdefault("samples", []).append(
+        {
+            "window": window,
+            "auto_classified": True,
+            "recorded_at": _dt.datetime.now(_dt.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "suite_sec": result["value"],
+            "kg_pipeline_sec": result["queries"]["kg_pipeline"],
+            "triples_per_sec": tps,
+            "loadavg_start": [round(x, 2) for x in loadavg_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "cpus": result["cpus"],
+            "sf": result["sf"],
+        }
+    )
+    try:
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+    except OSError:
+        pass  # recording is best-effort; the stdout contract line is the product
+
+
 def main() -> int:
     from char_ner_spark.driver_queries import build_queries, register_views
     from char_ner_spark.pipeline import run_pipeline
     from char_ner_spark.session import build_session
 
+    loadavg_start = os.getloadavg()
     sf = sf_of(SF_DIR)
     spark = build_session("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
     register_views(spark, SF_DIR)
@@ -118,21 +164,19 @@ def main() -> int:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "kg_pages": n_pages,
-                "kg_triples": n_triples,
-                "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
-                "cpus": CPUS,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "kg_pages": n_pages,
+        "kg_triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+        "cpus": CPUS,
+    }
+    record_sample(result, loadavg_start)
+    print(json.dumps(result))
     spark.stop()
     return 0
 

@@ -57,21 +57,30 @@ def append_manifest(spark: SparkSession, out_dir: str, row: dict) -> None:
     spark.createDataFrame(pdf).write.mode("append").parquet(_manifest_path(out_dir))
 
 
-def triples_checksum(df: DataFrame) -> tuple[int, str]:
-    """(row_count, order-insensitive checksum) of a triples DataFrame —
-    xor/sum of per-row hashes, computed distributed (no collect). ``conf``
-    enters integer-stabilized (e6 fixed point) so resumed units cannot
-    silently drift in confidence (ADVICE r1)."""
-    h = df.select(
-        F.xxhash64(
-            "subj", "pred", "obj", "url", "sent_idx",
-            F.expr("CAST(ROUND(conf * 1e6) AS BIGINT)"),
-        ).alias("h")
-    ).agg(
+def table_checksum(df: DataFrame) -> tuple[int, str]:
+    """(row_count, order-insensitive checksum) of ANY sink DataFrame —
+    xor of per-row xxhash64, computed distributed (no collect). Float and
+    double columns enter integer-stabilized (e6 fixed point) so resumed
+    units cannot silently drift in confidence/weight/score (ADVICE r1).
+    For the triples schema this reproduces the historical per-column
+    checksum bit-for-bit (same column order, same conf stabilization)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    cols = [
+        F.expr(f"CAST(ROUND(`{f.name}` * 1e6) AS BIGINT)")
+        if isinstance(f.dataType, (DoubleType, FloatType))
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    h = df.select(F.xxhash64(*cols).alias("h")).agg(
         F.count("h").alias("n"),
         F.expr("bit_xor(h)").alias("s"),  # order-insensitive, overflow-free
     ).collect()[0]
     return int(h["n"]), format((int(h["s"] or 0)) & 0xFFFFFFFFFFFFFFFF, "016x")
+
+
+# historical name (round-1/2 surface); triples was the only sink then
+triples_checksum = table_checksum
 
 
 def run_partitioned(
@@ -82,28 +91,44 @@ def run_partitioned(
     n_parts: int = 4,
     fail_after: int | None = None,
     weights_map: dict | None = None,
-    max_inflight: int = 1,
+    max_inflight: int | None = None,
+    sinks: tuple[str, ...] = ("triples",),
+    retain: int | None = None,
 ) -> list[dict]:
     """Run the pipeline per work unit with resume. ``fail_after`` injects a
     crash after that many units (tests); ``weights_map`` (lang → params)
-    runs inference from stored weights. Returns manifest rows written.
+    runs inference from stored weights. Returns manifest rows written
+    (sorted by (stage, part_id) — overlapped completion order is not
+    semantic).
 
     ``max_inflight`` > 1 overlaps work units: up to that many units run as
     concurrent Spark jobs (driver threads; Spark's scheduler interleaves
     their stages), so the cluster never idles between a unit's final write
     and the next unit's first scan — at K ~ 10k units the serial loop's
-    per-unit ramp-down/ramp-up gap is the dominant waste. Manifest append
-    and snapshot commit stay serialized under a lock (commit protocol is
-    still linear history); unit payloads are disjoint by construction
+    per-unit ramp-down/ramp-up gap is the dominant waste. The default
+    (None) overlaps automatically — min(4, n_parts) once there are ≥3
+    units; pass 1 to force the serial loop. Manifest append and snapshot
+    commit stay serialized under a lock (commit protocol is still linear
+    history); unit payloads are disjoint by construction
     (pmod(xxhash64(url))), so data writes never race.
-    """
+
+    ``sinks`` selects the materialized tables: per-unit sinks
+    ("triples", "edges", "mentions") write part_id=<pid>/ each unit and
+    commit their own snapshot line (metadata/<table>/); the unit-invariant
+    "entities" sink (dictionary ⋈ canonical map — identical whatever unit
+    computes it) writes once as part_id=0 after the units. ``retain``
+    bounds snapshot history per table (see expire_snapshots)."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
     from .pipeline import build_dictionary_state, run_pipeline
 
+    per_unit = [s for s in sinks if s != "entities"]
+    unknown = set(sinks) - {"triples", "edges", "mentions", "entities"}
+    if unknown:
+        raise ValueError(f"unknown sinks: {sorted(unknown)}")
     os.makedirs(out_dir, exist_ok=True)
-    done = completed_parts(spark, out_dir, "triples")
+    done = {s: completed_parts(spark, out_dir, s) for s in sinks}
     staged = pages.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
@@ -111,39 +136,48 @@ def run_partitioned(
     commit_lock = threading.Lock()
     written: list[dict] = []
 
-    def run_unit(pid: int) -> dict:
-        slice_df = staged.filter(F.col("part_id") == pid).drop("part_id")
-        obs = Observation(f"pages_in_{pid}")
-        slice_df = slice_df.observe(obs, F.count(F.lit(1)).alias("rows_in"))
-        out = run_pipeline(spark, slice_df, alias_pdf, dict_state=dict_state,
-                           weights_map=weights_map)
-        triples = out["triples"]
-        part_path = os.path.join(out_dir, "triples", f"part_id={pid}")
-        triples.withColumn("part_id", F.lit(pid)).write.mode("overwrite").parquet(part_path)
+    def commit_sink(table: str, pid: int, df: DataFrame, rows_in: int) -> dict:
+        part_path = os.path.join(out_dir, table, f"part_id={pid}")
+        df.withColumn("part_id", F.lit(pid)).write.mode("overwrite").parquet(part_path)
         written_df = spark.read.parquet(part_path)
-        n, checksum = triples_checksum(written_df)
-        # done with this unit — release the cached tagger output before the
-        # next unit persists its own (K~10k units would otherwise pile up
-        # cached blocks for the whole session; ADVICE r1)
-        out["mentions"].unpersist()
+        n, checksum = table_checksum(written_df)
         row = {
-            "stage": "triples",
+            "stage": table,
             "part_id": pid,
-            "rows_in": int(obs.get["rows_in"]),
+            "rows_in": rows_in,
             "rows_out": n,
             "checksum": checksum,
             "completed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         }
         with commit_lock:
             append_manifest(spark, out_dir, row)
-            write_snapshot(spark, out_dir, n_parts,
+            write_snapshot(spark, out_dir, n_parts, table=table,
                            schema_json=written_df.schema.json(),
                            add_part={"part_id": pid, "rows": n,
-                                     "checksum": checksum})
+                                     "checksum": checksum},
+                           retain=retain)
             written.append(row)
         return row
 
-    pending = [pid for pid in range(n_parts) if pid not in done]
+    def run_unit(pid: int) -> None:
+        slice_df = staged.filter(F.col("part_id") == pid).drop("part_id")
+        obs = Observation(f"pages_in_{pid}")
+        slice_df = slice_df.observe(obs, F.count(F.lit(1)).alias("rows_in"))
+        out = run_pipeline(spark, slice_df, alias_pdf, dict_state=dict_state,
+                           weights_map=weights_map)
+        for table in per_unit:
+            commit_sink(table, pid, out[table], int(obs.get["rows_in"]))
+        # done with this unit — release the cached tagger output before the
+        # next unit persists its own (K~10k units would otherwise pile up
+        # cached blocks for the whole session; ADVICE r1)
+        out["mentions"].unpersist()
+
+    pending = [
+        pid for pid in range(n_parts)
+        if any(pid not in done[s] for s in per_unit)
+    ]
+    if max_inflight is None:
+        max_inflight = 1 if len(pending) < 3 else min(4, len(pending))
     if max_inflight <= 1 or fail_after is not None:
         # serial path (and the only one where fail_after is well-defined)
         for i, pid in enumerate(pending):
@@ -153,15 +187,23 @@ def run_partitioned(
     else:
         with ThreadPoolExecutor(max_workers=max_inflight) as pool:
             list(pool.map(run_unit, pending))  # re-raises the first failure
+    if "entities" in sinks and 0 not in done["entities"]:
+        # unit-invariant dimension: dict_state's canonical map ⋈ alias names
+        from .pipeline import entities_table
+
+        commit_sink("entities", 0,
+                    entities_table(spark, alias_pdf, dict_state["canon"]),
+                    rows_in=len(alias_pdf))
     # heal a stale/missing snapshot pointer: a crash in the window between
     # append_manifest and write_snapshot leaves the manifest ahead of the
     # snapshot — readers resolving the pointer would silently drop the
     # committed part. The manifest is the source of truth; converge to it.
-    snap = current_snapshot(out_dir)
-    manifest_done = completed_parts(spark, out_dir, "triples")
-    if snap is None or set(snap["completed"]) != manifest_done:
-        write_snapshot(spark, out_dir, n_parts)
-    return written
+    for table in sinks:
+        snap = current_snapshot(out_dir, table=table)
+        manifest_done = completed_parts(spark, out_dir, table)
+        if snap is None or set(snap["completed"]) != manifest_done:
+            write_snapshot(spark, out_dir, n_parts, table=table, retain=retain)
+    return sorted(written, key=lambda r: (r["stage"], r["part_id"]))
 
 
 # ---------------------------------------------------------------------------
@@ -174,25 +216,36 @@ def run_partitioned(
 # ---------------------------------------------------------------------------
 
 
-def _snapshot_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "metadata")
+def _snapshot_dir(out_dir: str, table: str = "triples") -> str:
+    """Per-table snapshot metadata. The triples (flagship) table keeps the
+    historical flat ``metadata/`` location; every other sink namespaces
+    under ``metadata/<table>/``."""
+    meta = os.path.join(out_dir, "metadata")
+    return meta if table == "triples" else os.path.join(meta, table)
 
 
 def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int,
                    schema_json: str | None = None,
-                   add_part: dict | None = None) -> int:
+                   add_part: dict | None = None,
+                   table: str = "triples",
+                   retain: int | None = None) -> int:
     """Append snapshot-N.json + point `current` at it; returns N.
 
     With ``add_part`` the new snapshot is the previous manifest list plus
     that one entry — O(1) per commit, no Spark job under the commit lock
     (at K ~ 10k units, re-aggregating the whole manifest per commit is
     O(K²) total and serializes the overlapped units). Without it, the list
-    is rebuilt from the ``_lineage`` manifest — the heal/bootstrap path."""
+    is rebuilt from the ``_lineage`` manifest — the heal/bootstrap path.
+
+    ``retain``: after committing, expire all but the newest ``retain``
+    snapshot files (the new current is always kept) — without expiry, K
+    commits each carrying the full manifest list cost O(K²) metadata
+    bytes on disk at K ~ 10k."""
     import hashlib
 
-    meta = _snapshot_dir(out_dir)
+    meta = _snapshot_dir(out_dir, table)
     os.makedirs(meta, exist_ok=True)
-    prev = current_snapshot(out_dir)
+    prev = current_snapshot(out_dir, table=table)
     # next id = max EXISTING file + 1, not pointer + 1: after a crash between
     # writing snapshot-N.json and flipping `current` (pointer still N-1),
     # pointer+1 would silently REWRITE snapshot-N.json — snapshots are
@@ -214,7 +267,7 @@ def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int,
         parts = []
         if m is not None:
             rows = (
-                m.filter(F.col("stage") == "triples")
+                m.filter(F.col("stage") == table)
                 .groupBy("part_id")
                 .agg(F.max(F.struct("completed_at", "rows_out", "checksum")).alias("last"))
                 .select("part_id", "last.rows_out", "last.checksum")
@@ -229,7 +282,7 @@ def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int,
         schema_json = prev.get("schema_json")
     snap = {
         "snapshot_id": n,
-        "table": "triples",
+        "table": table,
         "n_parts": n_parts,
         "parent_id": prev["snapshot_id"] if prev else None,
         "completed": [p["part_id"] for p in parts],
@@ -245,16 +298,48 @@ def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int,
     with open(tmp, "w") as f:
         f.write(str(n))
     os.replace(tmp, os.path.join(meta, "current"))
-    # keep the legacy flat summary too (round-1 surface)
-    with open(os.path.join(out_dir, "snapshot.json"), "w") as f:
-        json.dump({"table": "triples", "n_parts": n_parts,
-                   "completed": snap["completed"]}, f, indent=1, sort_keys=True)
+    if table == "triples":
+        # keep the legacy flat summary too (round-1 surface)
+        with open(os.path.join(out_dir, "snapshot.json"), "w") as f:
+            json.dump({"table": "triples", "n_parts": n_parts,
+                       "completed": snap["completed"]}, f, indent=1, sort_keys=True)
+    if retain is not None:
+        expire_snapshots(out_dir, table=table, keep_last=retain)
     return n
 
 
-def current_snapshot(out_dir: str, snapshot_id: int | None = None) -> dict | None:
+def expire_snapshots(out_dir: str, table: str = "triples",
+                     keep_last: int = 10) -> list[int]:
+    """Delete all but the newest ``keep_last`` snapshot files (the current
+    pointer's target is always kept). Returns the expired ids.
+
+    Each snapshot carries the full manifest list, so K unexpired commits
+    cost O(K²) metadata bytes — Iceberg's expire_snapshots exists for the
+    same reason. Time-travel reads older than the retained window fail
+    loudly afterwards (current_snapshot → None), never silently re-read."""
+    meta = _snapshot_dir(out_dir, table)
+    if not os.path.isdir(meta):
+        return []
+    ids = sorted(
+        int(f[len("snapshot-"):-len(".json")])
+        for f in os.listdir(meta)
+        if f.startswith("snapshot-") and f.endswith(".json")
+    )
+    keep = set(ids[-max(keep_last, 1):])
+    ptr = os.path.join(meta, "current")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            keep.add(int(f.read().strip()))
+    expired = [i for i in ids if i not in keep]
+    for i in expired:
+        os.remove(os.path.join(meta, f"snapshot-{i}.json"))
+    return expired
+
+
+def current_snapshot(out_dir: str, snapshot_id: int | None = None,
+                     table: str = "triples") -> dict | None:
     """Resolve the `current` pointer (or a pinned id — time travel)."""
-    meta = _snapshot_dir(out_dir)
+    meta = _snapshot_dir(out_dir, table)
     ptr = os.path.join(meta, "current")
     if snapshot_id is None:
         if not os.path.exists(ptr):
@@ -268,15 +353,20 @@ def current_snapshot(out_dir: str, snapshot_id: int | None = None) -> dict | Non
         return json.load(f)
 
 
-def read_triples(spark: SparkSession, out_dir: str,
-                 snapshot_id: int | None = None) -> DataFrame:
-    """Read triples via the snapshot pointer (pin ``snapshot_id`` for time
-    travel); falls back to a directory glob when no snapshot exists."""
-    base = os.path.join(out_dir, "triples")
-    snap = current_snapshot(out_dir, snapshot_id)
+def read_table(spark: SparkSession, out_dir: str, table: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Read any snapshotted sink via its pointer (pin ``snapshot_id`` for
+    time travel); falls back to a directory glob when no snapshot exists."""
+    base = os.path.join(out_dir, table)
+    snap = current_snapshot(out_dir, snapshot_id, table=table)
     if snap is not None:
         paths = [os.path.join(base, f"part_id={p}") for p in snap["completed"]]
         if not paths:
             return spark.read.option("basePath", base).parquet(base).limit(0)
         return spark.read.option("basePath", base).parquet(*paths)
     return spark.read.option("basePath", base).parquet(os.path.join(base, "part_id=*"))
+
+
+def read_triples(spark: SparkSession, out_dir: str,
+                 snapshot_id: int | None = None) -> DataFrame:
+    return read_table(spark, out_dir, "triples", snapshot_id)

@@ -591,13 +591,28 @@ def canonical_map(alias_df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _gap_norm_col(c):
+    """Spark-native gap tokenization — must equal relations.normalize_gap
+    (parity-tested in tests/test_relations_gap.py). Explicit character
+    classes keep Java and Python regex semantics identical."""
+    x = F.lower(c)
+    x = F.regexp_replace(x, relations.GAP_PUNCT_PATTERN, " ")
+    x = F.regexp_replace(x, relations.GAP_WS_PATTERN, " ")
+    x = F.trim(x)
+    return F.when(x == "", F.lit(" ")).otherwise(
+        F.concat(F.lit(" "), x, F.lit(" "))
+    )
+
+
 def middles_table(spark: SparkSession) -> DataFrame:
     rows = [
-        (lang, mid, pred, subj_left)
-        for lang, mids in relations.MIDDLES.items()
-        for mid, (pred, subj_left) in mids.items()
+        (lang, norm_mid, pred, subj_left)
+        for lang, mids in relations.NORM_MIDDLES.items()
+        for norm_mid, (pred, subj_left) in mids.items()
     ]
-    return spark.createDataFrame(rows, "lang string, next_gap string, pred string, subj_left boolean")
+    return spark.createDataFrame(
+        rows, "lang string, gap_norm string, pred string, subj_left boolean"
+    )
 
 
 def extract_triples(linked_pairs: DataFrame, canon: DataFrame, middles: DataFrame) -> DataFrame:
@@ -610,7 +625,8 @@ def extract_triples(linked_pairs: DataFrame, canon: DataFrame, middles: DataFram
         linked_pairs.filter(
             F.col("entity_id").isNotNull() & F.col("next_entity").isNotNull()
         )
-        .join(F.broadcast(middles), ["lang", "next_gap"], "inner")
+        .withColumn("gap_norm", _gap_norm_col(F.col("next_gap")))
+        .join(F.broadcast(middles), ["lang", "gap_norm"], "inner")
     )
     canon_b = F.broadcast(canon)
     trip = (
@@ -642,6 +658,22 @@ def edges_from_triples(triples: DataFrame) -> DataFrame:
         triples.groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"),
                         F.col("pred").alias("rel"))
         .agg(F.sum("conf").alias("weight"))
+    )
+
+
+def entities_table(spark: SparkSession, alias_pdf: pd.DataFrame,
+                   canon: DataFrame) -> DataFrame:
+    """Entity dimension: dictionary rows ⋈ canonical map. Unit-invariant —
+    identical whichever work unit (or job) computes it, so the lineage
+    layer materializes it once per run, not per unit."""
+    return (
+        spark.createDataFrame(
+            alias_pdf[["entity_id", "canonical_name", "lang"]].drop_duplicates(
+                "entity_id"
+            )
+        )
+        .join(canon, "entity_id", "left")
+        .select("entity_id", "canonical_id", "canonical_name", "lang")
     )
 
 
@@ -721,15 +753,7 @@ def run_pipeline(
     # mentions, so recomputation (for the mention/link sinks) is cheap
     linked = link_pairs(mentions, alias_tables, alias_pdf=alias_pdf)
     triples = extract_triples(linked, canon, middles_table(spark))
-    ents = (
-        spark.createDataFrame(
-            alias_pdf[["entity_id", "canonical_name", "lang"]].drop_duplicates(
-                "entity_id"
-            )
-        )
-        .join(canon, "entity_id", "left")
-        .select("entity_id", "canonical_id", "canonical_name", "lang")
-    )
+    ents = entities_table(spark, alias_pdf, canon)
     return {
         "extracted": extracted,
         "mentions": mentions,

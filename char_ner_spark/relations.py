@@ -47,10 +47,45 @@ MIDDLES: dict[str, dict[str, tuple[str, bool]]] = {
 
 PREDICATES = sorted({p for m in MIDDLES.values() for p, _ in m.values()})
 
+# Gap normalization (round-3): template lookup happens on a TOKENIZED gap —
+# lowercase, punctuation → space, whitespace collapsed — so " acquired, ",
+# " Acquired " and " acquired " all fire the same template. The exact same
+# rule runs in three places and MUST stay in lockstep: this Python oracle
+# (normalize_gap), the Spark join key (pipeline._gap_norm_col — JVM regex,
+# parity-tested), and the broadcast template table (pipeline.middles_table).
+# The character class is explicit (no \w / \p{L}) because Java and Python
+# regex disagree on what \w matches — an explicit class is identical in both.
+GAP_PUNCT_PATTERN = (
+    "[.,;:!?¡¿\"'()\\[\\]{}«»„“”‘’\\-–—/\\\\|+*&%$#@~^<>=_]"
+)
+GAP_WS_PATTERN = "[ \t\n\r]+"
+
+import re as _re
+
+_GAP_PUNCT_RE = _re.compile(GAP_PUNCT_PATTERN)
+_GAP_WS_RE = _re.compile(GAP_WS_PATTERN)
+
+
+def normalize_gap(text: str) -> str:
+    """Canonical form of the text between two adjacent mentions, framed by
+    single spaces (keeps the word-boundary convention of the template keys)."""
+    t = _GAP_WS_RE.sub(" ", _GAP_PUNCT_RE.sub(" ", text.lower())).strip()
+    return f" {t} " if t else " "
+
+
+#: lang → {normalized_middle: (predicate, subj_is_left)}
+NORM_MIDDLES: dict[str, dict[str, tuple[str, bool]]] = {
+    lang: {normalize_gap(mid): hit for mid, hit in mids.items()}
+    for lang, mids in MIDDLES.items()
+}
+for _lang, _mids in MIDDLES.items():  # normalization must not merge templates
+    assert len(NORM_MIDDLES[_lang]) == len(_mids), _lang
+
 
 def match_middle(lang: str, middle: str) -> tuple[str, bool] | None:
-    """Middle text between two mentions → (predicate, subj_is_left) or None."""
-    return MIDDLES.get(lang, {}).get(middle)
+    """Middle text between two mentions → (predicate, subj_is_left) or None.
+    Matches on the normalized gap (tokenized middles)."""
+    return NORM_MIDDLES.get(lang, {}).get(normalize_gap(middle))
 
 
 def extract_sentence_triples(

@@ -223,11 +223,20 @@ def kmeans_centroids(
     seed: int = 20160731,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer for IVF, trained driver-side on a
-    deterministic sample (ordered by vec_id — at 10^9+ vectors swap in
-    ``.sample(fraction, seed)``; the trainer only ever sees ``sample`` rows
-    either way). Returns L2-normalized centroids (nlist, dim): assignment by
-    max dot against normalized centroids == max cosine, no per-row norms."""
-    pdf = vectors.select("vec_id", "embedding").orderBy("vec_id").limit(sample).toPandas()
+    seeded sample (≤ ``sample`` rows). The earlier ``orderBy(vec_id).limit``
+    prefix sorted the ENTIRE vector table just to pick 4096 rows; now a
+    seeded Bernoulli ``.sample`` (narrow, no shuffle) takes ~4× the target
+    and only that sliver is sorted for a deterministic cap. Deterministic
+    for a fixed file layout (Spark's seeded sample is per-partition; a
+    parquet read partitions identically across runs). Returns L2-normalized
+    centroids (nlist, dim): assignment by max dot against normalized
+    centroids == max cosine, no per-row norms."""
+    src = vectors.select("vec_id", "embedding")
+    n_total = src.count()
+    if n_total > sample:
+        frac = min(1.0, (4.0 * sample) / n_total)
+        src = src.sample(fraction=frac, seed=seed)
+    pdf = src.orderBy("vec_id").limit(sample).toPandas()
     X = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()

@@ -153,7 +153,7 @@ def test_overlapped_units_identical_to_serial(spark, corpus):
     pages = spark.createDataFrame(pages_pdf)
     d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
     try:
-        lineage.run_partitioned(spark, pages, alias, d1, n_parts=3)
+        lineage.run_partitioned(spark, pages, alias, d1, n_parts=3, max_inflight=1)
         rows = lineage.run_partitioned(
             spark, pages, alias, d2, n_parts=3, max_inflight=3
         )
@@ -339,6 +339,72 @@ def test_snapshot_pointer_healed_on_resume(spark, corpus):
         healed = lineage.current_snapshot(d)
         assert sorted(healed["completed"]) == [0, 1, 2]
         assert lineage.read_triples(spark, d).count() == full
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multi_sink_snapshots_and_retention(spark, corpus):
+    """Round-3 generalization: entities/edges/mentions sinks get the same
+    snapshot/lineage treatment as triples (metadata/<table>/ pointers),
+    re-running is a no-op, and `retain` bounds snapshot history (the
+    O(K²)-metadata fix) while keeping the current pointer readable."""
+    from pyspark.sql import functions as F
+
+    from char_ner_spark import lineage
+    from char_ner_spark.pipeline import edges_from_triples
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d = tempfile.mkdtemp()
+    sinks = ("triples", "edges", "mentions", "entities")
+    try:
+        rows = lineage.run_partitioned(
+            spark, pages, alias, d, n_parts=3, sinks=sinks, retain=2
+        )
+        assert {r["stage"] for r in rows} == set(sinks)
+        # every sink resolves through its own snapshot pointer
+        tri = lineage.read_table(spark, d, "triples")
+        edg = lineage.read_table(spark, d, "edges")
+        men = lineage.read_table(spark, d, "mentions")
+        ent = lineage.read_table(spark, d, "entities")
+        for table in sinks:
+            snap = lineage.current_snapshot(d, table=table)
+            assert snap is not None and snap["table"] == table
+            assert [p["checksum"] for p in snap["manifest"]]
+        assert lineage.current_snapshot(d, table="entities")["completed"] == [0]
+        assert ent.count() == alias["entity_id"].nunique()
+        assert men.count() > 0
+        assert set(r.part_id for r in men.select("part_id").distinct().collect()) \
+            == {0, 1, 2}
+        # per-unit edges re-aggregate to the global graph over all triples
+        got = {
+            (r.src, r.dst, r.rel): round(r.w, 6)
+            for r in edg.groupBy("src", "dst", "rel")
+            .agg(F.sum("weight").alias("w")).collect()
+        }
+        want = {
+            (r.src, r.dst, r.rel): round(r.weight, 6)
+            for r in edges_from_triples(tri).collect()
+        }
+        assert got == want
+        # everything committed -> a re-run is a pure no-op across all sinks
+        assert lineage.run_partitioned(
+            spark, pages, alias, d, n_parts=3, sinks=sinks, retain=2
+        ) == []
+        # retention: triples saw 3 unit commits but keeps only the newest 2
+        # snapshot files; the current pointer still resolves, expired ids
+        # fail loudly (None), never silently re-read
+        meta = os.path.join(d, "metadata")
+        ids = sorted(
+            int(f[len("snapshot-"):-len(".json")])
+            for f in os.listdir(meta) if f.startswith("snapshot-")
+        )
+        assert len(ids) <= 2, ids
+        cur = lineage.current_snapshot(d)
+        assert cur is not None and sorted(cur["completed"]) == [0, 1, 2]
+        expired_id = 0
+        assert expired_id not in ids
+        assert lineage.current_snapshot(d, snapshot_id=expired_id) is None
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

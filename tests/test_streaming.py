@@ -283,3 +283,43 @@ def test_stream_triples_replay_converges_not_duplicates(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_replay_with_empty_batch_clears_stale_partition(spark):
+    """ADVICE r2: dynamic partition overwrite only replaces partitions that
+    RECEIVE rows. A replay whose micro-batch now yields ZERO triples (here:
+    a dictionary change unlinks everything) must still clear the stale
+    batch_id partition from the earlier delivery — the output converges to
+    the replay's (empty) content, not the superseded one."""
+    import pandas as pd
+
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+
+    alias = make_alias_table(50, seed=42)
+    pdf = make_pages(20, seed=42, alias_df=alias)
+    d = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "pages")
+        out = os.path.join(d, "out")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+        first = ST.stream_triples(
+            spark, src, alias, out, os.path.join(d, "ck1")
+        ).toPandas()
+        assert len(first) > 0
+        # "dictionary change": aliases that never occur in any page text
+        unlinked = pd.DataFrame(
+            {
+                "entity_id": [900001, 900002],
+                "canonical_name": ["Zzqx One", "Zzqx Two"],
+                "alias": ["Zzqxalpha", "Zzqxbeta"],
+                "lang": ["en", "en"],
+                "prior": [0.5, 0.5],
+                "ner_type": ["ORG", "ORG"],
+            }
+        )
+        second = ST.stream_triples(
+            spark, src, unlinked, out, os.path.join(d, "ck2")
+        ).toPandas()
+        assert len(second) == 0, second.head()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -35,11 +35,17 @@ def main() -> int:
     ap.add_argument("--weights-dir", default=None,
                     help="dir of charner_<lang>.npz parameter files; "
                          "default: deterministic seeded weights")
-    ap.add_argument("--max-inflight", type=int, default=1,
-                    help="work units overlapped as concurrent Spark jobs "
-                         "(>1 keeps the cluster busy across unit boundaries)")
+    ap.add_argument("--max-inflight", type=int, default=None,
+                    help="work units overlapped as concurrent Spark jobs; "
+                         "default auto (min(4, pending units) once >=3 "
+                         "units pend), 1 forces the serial loop")
     ap.add_argument("--materialize-graph", action="store_true",
-                    help="also write entities/ and edges/")
+                    help="also materialize the entities/ and edges/ sinks "
+                         "(snapshotted per table, same lineage treatment as "
+                         "triples/)")
+    ap.add_argument("--retain-snapshots", type=int, default=None,
+                    help="expire all but the newest N snapshot files per "
+                         "table (bounds metadata growth at K~10k commits)")
     args = ap.parse_args()
 
     import pandas as pd
@@ -48,7 +54,6 @@ def main() -> int:
 
     from char_ner_spark import lineage
     from char_ner_spark.fixtures import make_alias_table
-    from char_ner_spark.pipeline import run_pipeline
 
     spark = SparkSession.builder.appName("char_ner_spark_kg_job").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,23 +77,17 @@ def main() -> int:
             raise SystemExit(f"no charner_<lang>.npz files in {args.weights_dir}")
 
     pages = spark.read.parquet(args.pages)
+    sinks = ("triples", "edges", "entities") if args.materialize_graph else ("triples",)
     t0 = time.time()
     rows = lineage.run_partitioned(
         spark, pages, alias_pdf, args.out, n_parts=args.n_parts,
         weights_map=weights_map, max_inflight=args.max_inflight,
+        sinks=sinks, retain=args.retain_snapshots,
     )
-    if args.materialize_graph:
-        out = run_pipeline(spark, pages.limit(0), alias_pdf)  # dict-side only
-        out["entities"].write.mode("overwrite").parquet(os.path.join(args.out, "entities"))
-        triples = lineage.read_triples(spark, args.out)
-        from char_ner_spark.pipeline import edges_from_triples
-
-        edges_from_triples(triples).write.mode("overwrite").parquet(
-            os.path.join(args.out, "edges")
-        )
     n_triples = lineage.read_triples(spark, args.out).count()
+    units_run = len({r["part_id"] for r in rows if r["stage"] == "triples"})
     print(json.dumps({
-        "units_run": len(rows),
+        "units_run": units_run,
         "units_total": args.n_parts,
         "triples": n_triples,
         "sec": round(time.time() - t0, 2),
