@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from .textops import char_ngrams, jaccard, minhash_bands, normalize_surface
+from .textops import char_ngrams, jaccard, normalize_surface
 
 #: fuzzy candidates below this trigram-Jaccard are dropped
 JACCARD_MIN = 0.30
@@ -41,40 +41,87 @@ class AliasIndex:
     same alias table and reproduces this with joins)."""
 
     def __init__(self, alias_df: pd.DataFrame):
+        from .textops import minhash_bands_batch
+
         self.exact: dict[str, list[tuple[int, float]]] = {}
         self.bands: dict[tuple[int, int], list[int]] = {}  # (band_idx, hash) -> alias row ids
         self.rows = alias_df.reset_index(drop=True)
         norms = [normalize_surface(a) for a in self.rows["alias"]]
         self.rows = self.rows.assign(alias_norm=norms)
+        all_bands = minhash_bands_batch(norms, already_norm=True)
         for rid, (norm, eid, prior) in enumerate(
             zip(norms, self.rows["entity_id"], self.rows["prior"])
         ):
             self.exact.setdefault(norm, []).append((int(eid), float(prior)))
-            for bi, bh in enumerate(minhash_bands(norm)):
-                self.bands.setdefault((bi, bh), []).append(rid)
+            for bi, bh in enumerate(all_bands[rid]):
+                self.bands.setdefault((bi, int(bh)), []).append(rid)
+        # probe-time invariants, computed once instead of per linked surface:
+        # the exact winner per norm (link() never mixes exact with fuzzy, so
+        # the winner among exacts is a pure function of the dictionary) and
+        # each alias row's gram set + (entity_id, prior) tuple
+        self.exact_best: dict[str, tuple[float, int]] = {
+            norm: best_candidate([(exact_score(p), e) for e, p in pairs])
+            for norm, pairs in self.exact.items()
+        }
+        self.row_grams: list[set] = [char_ngrams(n) for n in norms]
+        self.row_ep: list[tuple[int, float]] = [
+            (int(e), float(p))
+            for e, p in zip(self.rows["entity_id"], self.rows["prior"])
+        ]
+
+    def _fuzzy(self, norm: str, bands) -> tuple[float, int] | None:
+        """Fuzzy winner for one normalized surface given its band hashes."""
+        grams = char_ngrams(norm)
+        cands: list[tuple[float, int]] = []
+        seen: set[int] = set()
+        for bi, bh in enumerate(bands):
+            for rid in self.bands.get((bi, int(bh)), []):
+                if rid in seen:
+                    continue
+                seen.add(rid)
+                j = jaccard(grams, self.row_grams[rid])
+                if j >= JACCARD_MIN:
+                    eid, prior = self.row_ep[rid]
+                    cands.append((fuzzy_score(j, prior), eid))
+        return best_candidate(cands)
 
     def link(self, surface: str) -> tuple[int, float] | None:
         """Surface → (entity_id, score) or None (unlinkable)."""
         norm = normalize_surface(surface)
-        cands: list[tuple[float, int]] = []
-        for eid, prior in self.exact.get(norm, []):
-            cands.append((exact_score(prior), eid))
-        if not cands:  # fuzzy path only when no exact hit (cheaper, same contract in Spark)
-            grams = char_ngrams(norm)
-            seen: set[int] = set()
-            for bi, bh in enumerate(minhash_bands(norm)):
-                for rid in self.bands.get((bi, bh), []):
-                    if rid in seen:
-                        continue
-                    seen.add(rid)
-                    row = self.rows.iloc[rid]
-                    j = jaccard(grams, char_ngrams(row["alias_norm"]))
-                    if j >= JACCARD_MIN:
-                        cands.append((fuzzy_score(j, float(row["prior"])), int(row["entity_id"])))
-        best = best_candidate(cands)
-        if best is None:
-            return None
-        return best[1], best[0]
+        got = self.link_batch([norm], already_norm=True)[0]
+        return got
+
+    def link_batch(
+        self, surfaces: list[str], already_norm: bool = False
+    ) -> list[tuple[int, float] | None]:
+        """Vectorized probe: exact winners are dict lookups against the
+        precomputed per-norm best; MinHash banding for the (minority)
+        non-exact remainder runs as ONE textops.minhash_bands_batch call —
+        the Arrow hot path of best_links_broadcast. Bit-identical to the
+        historical per-surface link() (fuzzy only when no exact hit)."""
+        from .textops import minhash_bands_batch
+
+        norms = (
+            list(surfaces) if already_norm
+            else [normalize_surface(s) for s in surfaces]
+        )
+        out: list[tuple[int, float] | None] = [None] * len(norms)
+        fuzzy_idx = []
+        for i, norm in enumerate(norms):
+            hit = self.exact_best.get(norm)
+            if hit is not None:
+                out[i] = (hit[1], hit[0])
+            else:
+                fuzzy_idx.append(i)
+        if fuzzy_idx:
+            bands = minhash_bands_batch(
+                [norms[i] for i in fuzzy_idx], already_norm=True
+            )
+            for j, i in enumerate(fuzzy_idx):
+                best = self._fuzzy(norms[i], bands[j])
+                if best is not None:
+                    out[i] = (best[1], best[0])
+        return out
 
 
 def union_find_canonical(alias_df: pd.DataFrame) -> dict[int, int]:

@@ -409,9 +409,13 @@ def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
                 _ALIAS_IDX_CACHE.clear()
             _ALIAS_IDX_CACHE[fp] = idx
         for pdf in batches:
+            # vectorized probe: exact winners are precomputed dict lookups,
+            # MinHash banding for the non-exact remainder is one batched
+            # ndarray pass (linking.AliasIndex.link_batch)
+            sns = pdf["surface_norm"].tolist()
+            hits = idx.link_batch(sns, already_norm=True)
             rows = {"surface_norm": [], "entity_id": [], "link_score": []}
-            for sn in pdf["surface_norm"]:
-                hit = idx.link(sn)
+            for sn, hit in zip(sns, hits):
                 if hit is not None:
                     rows["surface_norm"].append(sn)
                     rows["entity_id"].append(hit[0])
