@@ -421,3 +421,38 @@ def cosine_near_dups(vectors: DataFrame, threshold: float = 0.95,
         .selectExpr("vec_a", "vec_b", _cosine_expr("ea", "eb") + " AS cosine")
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dup_groups(vectors: DataFrame, threshold: float = 0.95,
+                              bits: int = 16, tables: int = 8) -> DataFrame:
+    """Corpus-level embedding dedup GROUPING: (vec_id, keep_vec_id), where
+    keep_vec_id is the min vec_id of the vector's near-dup cluster —
+    transitive closure over cosine-VERIFIED pairs. The embedding twin of
+    dedup.near_dup_groups: verified pairs → pointer-jumped connected
+    components (the same operator that canonicalizes entities) → left-join
+    back (singletons keep themselves). The CC working set is only the
+    vectors appearing in ≥1 verified pair — at corpus scale orders of
+    magnitude smaller than the table."""
+    from .pipeline import connected_components
+
+    edges = (
+        cosine_near_dups(vectors, threshold=threshold, bits=bits, tables=tables)
+        .select(
+            F.col("vec_a").cast("long").alias("src"),
+            F.col("vec_b").cast("long").alias("dst"),
+        )
+        .localCheckpoint()  # feeds verts (two scans) + the CC edge set
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, edges)
+    ids = vectors.select(F.col("vec_id").cast("long").alias("vec_id"))
+    return ids.join(
+        cc.withColumnRenamed("entity_id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("canonical_id", F.col("vec_id")).alias("keep_vec_id"),
+    )

@@ -114,6 +114,31 @@ def test_banded_near_dup_candidates_shrink_hot_bucket(spark):
     assert {(0, 1000), (1, 1001), (2, 1002)} <= got, got
 
 
+def test_embedding_near_dup_groups_transitive_and_singletons(spark, emb):
+    """Chain A≈B≈C must collapse to one keeper (transitive closure), every
+    other vector keeps itself — the embedding twin of near_dup_groups."""
+    from pyspark.sql import functions as F
+
+    from char_ner_spark.similarity import embedding_near_dup_groups
+
+    # clones of vec 0 at ids 10000/10001 → cluster {0, 10000, 10001}
+    clones = emb.filter("vec_id = 0").select(
+        F.explode(F.array(F.lit(10000), F.lit(10001))).alias("vec_id"),
+        "embedding",
+    )
+    allv = emb.select("vec_id", "embedding").union(
+        clones.select("vec_id", "embedding")
+    )
+    got = {
+        int(r.vec_id): int(r.keep_vec_id)
+        for r in embedding_near_dup_groups(allv, threshold=0.999).collect()
+    }
+    assert got[0] == got[10000] == got[10001] == 0
+    # random gaussians are nowhere near cosine 0.999: all others singleton
+    others = [v for v in got if v not in (0, 10000, 10001)]
+    assert others and all(got[v] == v for v in others)
+
+
 def test_ngram_jaccard_hot_shingle_correction_exact(spark):
     """With df_cap forced below real document frequencies, the hot-shingle
     correction join must restore the exact uncapped Jaccard for every pair
