@@ -55,6 +55,31 @@ def test_extract_sentence_triples_tokenized_gap():
     assert got == [(1, "acquired", 2, 0.8)]
 
 
+def test_spark_gap_norm_parity_fuzz(spark):
+    """500 seeded random strings over a hostile alphabet (unicode letters,
+    every punctuation char in the class, whitespace runs, empties): the JVM
+    and Python normalizations must agree byte-for-byte — this is the claim
+    that justified the explicit character class over \\w."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from char_ner_spark.pipeline import _gap_norm_col
+
+    rng = random.Random(20160731)
+    alphabet = (
+        "abcXYZ019 üöäßñéí  .,;:!?¡¿\"'()[]{}«»„“”‘’-–—/\\|+*&%$#@~^<>=_\t\n"
+    )
+    gaps = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(500)
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame({"g": gaps}))
+    got = [r.n for r in sdf.select(_gap_norm_col(F.col("g")).alias("n")).collect()]
+    want = [R.normalize_gap(g) for g in gaps]
+    assert got == want
+
+
 def test_spark_gap_norm_parity_and_join(spark):
     """The JVM gap normalization must equal normalize_gap byte-for-byte on
     every shape (unicode, tabs, empties), and extract_triples must fire on
