@@ -76,6 +76,7 @@ _EXPORTS = {
     "normalize_gap": "relations",
     # multimodal plumbing
     "extract_media_features": "multimodal",
+    "sample_video_frames": "multimodal",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

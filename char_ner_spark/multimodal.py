@@ -78,6 +78,95 @@ def frame_sample_indices(duration_ms: int, fps_ms: int = 1000) -> list[int]:
     return list(range(0, duration_ms, fps_ms))
 
 
+def decode_video_frame(payload: bytes, ts_ms: int, fake: bool = False) -> np.ndarray:
+    """Decode one video frame at ``ts_ms`` to an HxWx3 uint8 array.
+
+    REAL DECODE IS STUBBED (no ffmpeg/opencv in this container). With
+    ``fake=True`` a deterministic pseudo-frame is derived from
+    (payload, ts_ms) so per-frame distributed plumbing is exercised —
+    distinct timestamps yield distinct frames, replays yield identical
+    ones."""
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires ffmpeg/opencv (not in this sandbox); "
+            "pass fake=True for the deterministic test decoder"
+        )
+    h = hashlib.blake2b(
+        bytes(payload) + int(ts_ms).to_bytes(8, "big"), digest_size=8
+    ).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    return rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),  # 16-dim
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, fps_ms: int = 1000,
+                        thumb: tuple[int, int] = (8, 8)) -> DataFrame:
+    """Video rows → one row per sampled frame with a per-frame feature.
+
+    Spark-first split of labor: the frame-timestamp fan-out runs JVM-side
+    (``explode(sequence(0, duration_ms-1, fps_ms))`` ≡
+    :func:`frame_sample_indices`, equality pinned in tests) so Catalyst
+    sees the row multiplication and sizes partitions for it; Python touches
+    only the (payload, ts) pairs in ONE mapInPandas for the decode +
+    feature step. Frames of one video may land on different partitions —
+    the decode is stateless per frame, so that's free parallelism, not a
+    hazard. Decode itself is the honest sandbox stub
+    (:func:`decode_video_frame` with ``fake=True``)."""
+    tw, th = thumb
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for mid, payload, ts in zip(
+                pdf["media_id"], pdf["payload"], pdf["frame_ts_ms"]
+            ):
+                frame = decode_video_frame(bytes(payload), int(ts), fake=True)
+                small = resize_image(frame, tw, th)
+                hist = np.bincount(
+                    (small.reshape(-1) >> 4), minlength=FEATURE_DIM
+                ).astype(np.float32)
+                n = np.linalg.norm(hist)
+                rows["media_id"].append(int(mid))
+                rows["frame_ts_ms"].append(int(ts))
+                rows["feature"].append(
+                    [float(x) for x in (hist / n if n > 0 else hist)]
+                )
+                rows["thumb_w"].append(small.shape[1])
+                rows["thumb_h"].append(small.shape[0])
+            yield pd.DataFrame(rows)
+
+    frames = (
+        media.filter("kind = 'video' AND duration_ms > 0")
+        .select(
+            "media_id",
+            "payload",
+            # duration_ms may arrive as int/long/double depending on the
+            # source (pandas nullable columns land as double) — normalize
+            # to LONG so sequence() type-checks everywhere
+            F.explode(
+                F.expr(
+                    "sequence(CAST(0 AS LONG), CAST(duration_ms AS LONG) - 1, "
+                    f"CAST({int(fps_ms)} AS LONG))"
+                )
+            ).alias("ts_l"),
+        )
+        .select(
+            "media_id", "payload", F.col("ts_l").cast("int").alias("frame_ts_ms")
+        )
+    )
+    return frames.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
 def _feature_from_bytes(payload: bytes) -> np.ndarray:
     """16-dim content fingerprint feature from raw bytes (byte histogram
     folded to 16 bins, L2-normalized) — a real, deterministic feature that

@@ -49,3 +49,50 @@ def test_media_features_distributed(spark):
     img = feats[feats.kind == "image"]
     assert (img.thumb_w == 8).all() and (img.thumb_h == 8).all()
     assert feats[feats.kind != "image"].thumb_w.isna().all()
+
+
+def test_video_frame_decode_stub_and_determinism():
+    with pytest.raises(NotImplementedError):
+        MM.decode_video_frame(b"abc", 0)
+    a = MM.decode_video_frame(b"abc", 1000, fake=True)
+    b = MM.decode_video_frame(b"abc", 1000, fake=True)
+    c = MM.decode_video_frame(b"abc", 2000, fake=True)
+    assert np.array_equal(a, b)           # replay-identical
+    assert not np.array_equal(a, c)       # distinct ts -> distinct frame
+    assert a.shape == (16, 16, 3) and a.dtype == np.uint8
+
+
+def test_sample_video_frames_distributed(spark):
+    """JVM sequence/explode fan-out must equal frame_sample_indices per
+    video, per-frame features must be deterministic across partitionings,
+    and non-video rows must not leak in."""
+    import pandas as pd
+
+    pdf = MM.make_media_fixture(48, seed=42)
+    sdf = spark.createDataFrame(pdf)
+    got = MM.sample_video_frames(sdf).toPandas()
+
+    vids = pdf[(pdf["kind"] == "video") & (pdf["duration_ms"] > 0)]
+    want = {
+        int(r.media_id): MM.frame_sample_indices(int(r.duration_ms))
+        for r in vids.itertuples()
+    }
+    by_vid = {
+        int(mid): sorted(g.frame_ts_ms.tolist())
+        for mid, g in got.groupby("media_id")
+    }
+    assert by_vid == want                      # exact fan-out parity
+    assert set(got.media_id) == set(want)      # no image/audio leakage
+    assert (got.thumb_w == 8).all() and (got.thumb_h == 8).all()
+    feats = np.stack(got.feature.to_numpy())
+    assert feats.shape[1] == MM.FEATURE_DIM
+    norms = np.linalg.norm(feats, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+
+    # partitioning must not change any frame's feature (stateless decode)
+    re = MM.sample_video_frames(sdf.repartition(7)).toPandas()
+    key = lambda df: {
+        (int(r.media_id), int(r.frame_ts_ms)): tuple(round(float(x), 6) for x in r.feature)
+        for r in df.itertuples()
+    }
+    assert key(re) == key(got)
