@@ -114,6 +114,40 @@ def test_banded_near_dup_candidates_shrink_hot_bucket(spark):
     assert {(0, 1000), (1, 1001), (2, 1002)} <= got, got
 
 
+def test_banded_bucket_keys_partition_by_table(spark, emb):
+    """Structural invariants of the banded keys: each vector emits exactly
+    `tables` true buckets — one per table block (key>>32 == table id) —
+    and multiprobe flips never escape their table's 32-bit code block."""
+    import numpy as np
+
+    from char_ner_spark.similarity import hyperplanes, with_banded_buckets
+
+    tables, bits, mp = 4, 10, 3
+    planes = hyperplanes(64, bits, tables=tables)
+    some = emb.limit(50).select("vec_id", "embedding")
+    plain = with_banded_buckets(some, planes, tables).toPandas()
+    probed = with_banded_buckets(some, planes, tables, multiprobe=mp).toPandas()
+
+    for vid, g in plain.groupby("vec_id"):
+        ks = sorted(int(b) for b in g.bucket)
+        assert len(ks) == tables
+        assert [k >> 32 for k in ks] == list(range(tables)), vid
+        assert all(0 <= (k & 0xFFFFFFFF) < (1 << bits) for k in ks)
+    base = {
+        (int(r.vec_id), int(r.bucket) >> 32): int(r.bucket)
+        for r in plain.itertuples()
+    }
+    for r in probed.itertuples():
+        k, t = int(r.bucket), int(r.bucket) >> 32
+        assert 0 <= t < tables
+        diff = k ^ base[(int(r.vec_id), t)]
+        # either the true bucket or a single-bit flip of it, same table
+        assert diff == 0 or (diff & (diff - 1)) == 0 and diff < (1 << mp), r
+    # probe count: one true + mp flips per table
+    n_per = probed.groupby("vec_id").size()
+    assert (n_per == tables * (1 + mp)).all()
+
+
 def test_embedding_near_dup_groups_transitive_and_singletons(spark, emb):
     """Chain A≈B≈C must collapse to one keeper (transitive closure), every
     other vector keeps itself — the embedding twin of near_dup_groups."""

@@ -126,6 +126,30 @@ def main() -> int:
         ],
     ))
 
+    # 7. on-disk IVF index: probe reads are partition-pruned, query side
+    # broadcast — the "never read the unprobed cells" property at scale
+    import tempfile
+
+    from char_ner_spark.similarity import (
+        ivf_topk_from_index, kmeans_centroids, write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ivf_dir = os.path.join(tempfile.mkdtemp(prefix="cns_plan_ivf_"), "index")
+    cents = kmeans_centroids(emb, nlist=8)
+    write_ivf_index(emb, ivf_dir, nlist=8, centroids=cents)
+    queries = emb.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    p8 = fmt(ivf_topk_from_index(spark, ivf_dir, queries, cents, k=5, nprobe=2))
+    sections.append((
+        "ivf_topk_from_index (partition-pruned index probe)", p8,
+        [
+            ("probe cells pushed as partition filter",
+             "PartitionFilters" in p8 and "cell" in p8),
+            ("query side broadcast", "BroadcastHashJoin" in p8
+             or "BroadcastNestedLoopJoin" in p8),
+        ],
+    ))
+
     out = ["# Physical plan audit (generated by tools/plan_audit.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
