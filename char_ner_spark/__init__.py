@@ -67,6 +67,7 @@ _EXPORTS = {
     # corpus dedup (cross-engine SQL)
     "simhash_sql": "dedup",
     "minhash_bands_sql": "dedup",
+    "simhash_near_dup_sql": "dedup",
     "near_dup_groups": "dedup",
     # text ops / linking primitives
     "extract_text": "textops",

@@ -130,3 +130,39 @@ def test_near_dup_groups_degenerate_hot_bucket(spark):
     }
     assert all(got[i] == 0 for i in range(n_hot))          # one cluster, min keeper
     assert all(got[1000 + i] == 1000 + i for i in range(10))  # singletons
+
+
+def test_simhash_near_dup_pairs_cross_engine(sdocs, duck):
+    """Banded SimHash pair generation: identical rows on both engines, the
+    exact-dup pair at hamming 0, near-dups within threshold, and no pair
+    outside it (every returned hamming <= max)."""
+    from char_ner_spark.dedup import simhash_near_dup_sql
+
+    # 12 bands of 5 bits: pigeonhole GUARANTEES recall for hamming <= 11 —
+    # which covers the fixture's near-dup pair (0,1) at hamming 11. The
+    # production default (4x15) trades that guarantee width for bigger
+    # band keys; recall above n_bands-1 is probabilistic there.
+    kw = dict(table="dedup_docs", n_bands=12, max_hamming=12)
+    sql_s = simhash_near_dup_sql(SPARK, **kw)
+    sql_d = simhash_near_dup_sql(DUCK, **kw)
+    a = _canon(sdocs.sql(sql_s).toPandas())
+    b = _canon(duck.sql(sql_d).df())
+    pd.testing.assert_frame_equal(a, b)
+
+    got = {
+        (int(r.doc_a), int(r.doc_b)): int(r.hamming)
+        for r in sdocs.sql(sql_s).toPandas().itertuples()
+    }
+    assert got.get((2, 3)) == 0                      # exact dup
+    assert (0, 1) in got and got[(0, 1)] == 11       # near-dup guaranteed
+    assert (0, 4) not in got                         # unrelated (hamming 31)
+    assert all(h <= 12 for h in got.values())
+    # verification is exact: recompute hamming from fingerprints directly
+    fps = dict(
+        zip(*[
+            sdocs.sql(simhash_sql(SPARK, table="dedup_docs")).toPandas()[c]
+            for c in ("doc_id", "simhash")
+        ])
+    )
+    for (x, y), h in got.items():
+        assert bin(int(fps[x]) ^ int(fps[y])).count("1") == h
