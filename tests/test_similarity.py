@@ -46,6 +46,27 @@ def test_lsh_topk_subset_of_exact_semantics(emb, queries):
     }
 
 
+def test_lsh_topk_banded_tables_subset_semantics(emb, queries):
+    """tables>1: results remain brute-force-restricted-to-candidates (equal
+    cosines), self-match still rank 1, and candidate coverage is a superset
+    of any single table's (more tables never lose a candidate pair)."""
+    exact = SIM.cosine_topk(emb, queries, k=500).toPandas()
+    exact_map = {(r.query_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    one = SIM.lsh_topk(emb, queries, k=200, bits=8, multiprobe=0, tables=1).toPandas()
+    three = SIM.lsh_topk(emb, queries, k=200, bits=8, multiprobe=0, tables=3).toPandas()
+    for df in (one, three):
+        for r in df.itertuples():
+            assert abs(exact_map[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+    assert {(r.query_id, r.vec_id) for r in three[three.rk == 1].itertuples()} == {
+        (q, q) for q in range(5)
+    }
+    # table 0 of the 3-table planes == the 1-table planes (same seed prefix)
+    # so every single-table candidate must reappear under 3 tables
+    s1 = {(r.query_id, r.vec_id) for r in one.itertuples()}
+    s3 = {(r.query_id, r.vec_id) for r in three.itertuples()}
+    assert len(s3) >= len(s1)
+
+
 def test_lsh_recall_reported(emb, queries):
     exact = SIM.cosine_topk(emb, queries, k=10).toPandas()
     lsh = SIM.lsh_topk(emb, queries, k=10, multiprobe=3).toPandas()
