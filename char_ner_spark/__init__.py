@@ -40,6 +40,7 @@ _EXPORTS = {
     "run_partitioned": "lineage",
     "read_table": "lineage",
     "read_triples": "lineage",
+    "read_edges": "lineage",
     "write_snapshot": "lineage",
     "current_snapshot": "lineage",
     "expire_snapshots": "lineage",

@@ -62,8 +62,11 @@ def table_checksum(df: DataFrame) -> tuple[int, str]:
     xor of per-row xxhash64, computed distributed (no collect). Float and
     double columns enter integer-stabilized (e6 fixed point) so resumed
     units cannot silently drift in confidence/weight/score (ADVICE r1).
-    For the triples schema this reproduces the historical per-column
-    checksum bit-for-bit (same column order, same conf stabilization)."""
+    Same recipe as the historical triples checksum (schema column order,
+    e6 conf stabilization) — but note it hashes EVERY column of the frame
+    it is given: commit_sink feeds it the written part read back, which
+    carries the part_id column, so checksums recorded by round-3 code are
+    not comparable to manifests written before the multi-sink change."""
     from pyspark.sql.types import DoubleType, FloatType
 
     cols = [
@@ -166,6 +169,13 @@ def run_partitioned(
         out = run_pipeline(spark, slice_df, alias_pdf, dict_state=dict_state,
                            weights_map=weights_map)
         for table in per_unit:
+            if pid in done[table]:
+                # a crash between a unit's sink commits leaves siblings
+                # behind: the pipeline recompute is unavoidable (the missing
+                # sink derives from it), but re-committing an already-
+                # manifested sink would just rewrite identical bytes and
+                # append duplicate manifest/snapshot rows
+                continue
             commit_sink(table, pid, out[table], int(obs.get["rows_in"]))
         # done with this unit — release the cached tagger output before the
         # next unit persists its own (K~10k units would otherwise pile up
@@ -370,3 +380,17 @@ def read_table(spark: SparkSession, out_dir: str, table: str,
 def read_triples(spark: SparkSession, out_dir: str,
                  snapshot_id: int | None = None) -> DataFrame:
     return read_table(spark, out_dir, "triples", snapshot_id)
+
+
+def read_edges(spark: SparkSession, out_dir: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Global edge graph from the per-unit ``edges`` sink.
+
+    The sink stores each work unit's PARTIAL aggregation (resume-friendly,
+    idempotent per part — an edge whose supporting triples span units
+    appears once per unit with a partial weight), so total weights require
+    this re-aggregation on read. Reading ``out_dir/edges`` directly gives
+    partials; use this helper for the graph the pre-multi-sink tool used
+    to materialize."""
+    e = read_table(spark, out_dir, "edges", snapshot_id)
+    return e.groupBy("src", "dst", "rel").agg(F.sum("weight").alias("weight"))

@@ -113,58 +113,55 @@ def sample_video_frames(media: DataFrame, fps_ms: int = 1000,
                         thumb: tuple[int, int] = (8, 8)) -> DataFrame:
     """Video rows → one row per sampled frame with a per-frame feature.
 
-    Spark-first split of labor: the frame-timestamp fan-out runs JVM-side
-    (``explode(sequence(0, duration_ms-1, fps_ms))`` ≡
-    :func:`frame_sample_indices`, equality pinned in tests) so Catalyst
-    sees the row multiplication and sizes partitions for it; Python touches
-    only the (payload, ts) pairs in ONE mapInPandas for the decode +
-    feature step. Frames of one video may land on different partitions —
-    the decode is stateless per frame, so that's free parallelism, not a
-    hazard. Decode itself is the honest sandbox stub
-    (:func:`decode_video_frame` with ``fake=True``)."""
+    The fan-out happens INSIDE the Arrow crossing, not before it: each
+    video's (payload, duration) row crosses to Python exactly once and
+    ``gen`` emits its frames (timestamps per :func:`frame_sample_indices`,
+    the shared sampling contract). An explode-then-mapInPandas shape would
+    read nicer to Catalyst but duplicates the full binary payload once PER
+    FRAME through Arrow — a 100 MB 10-minute video at 1 fps would ship
+    ~60 GB; payload size × frame count is the dominant term at scale, so
+    the crossing count is what must stay linear in videos. Videos spread
+    across partitions by the url-hash repartition; output row count is
+    still frames, so downstream sizing sees the multiplication. Decode is
+    the honest sandbox stub (:func:`decode_video_frame`, ``fake=True``)."""
     tw, th = thumb
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
-            for mid, payload, ts in zip(
-                pdf["media_id"], pdf["payload"], pdf["frame_ts_ms"]
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                frame = decode_video_frame(bytes(payload), int(ts), fake=True)
-                small = resize_image(frame, tw, th)
-                hist = np.bincount(
-                    (small.reshape(-1) >> 4), minlength=FEATURE_DIM
-                ).astype(np.float32)
-                n = np.linalg.norm(hist)
-                rows["media_id"].append(int(mid))
-                rows["frame_ts_ms"].append(int(ts))
-                rows["feature"].append(
-                    [float(x) for x in (hist / n if n > 0 else hist)]
-                )
-                rows["thumb_w"].append(small.shape[1])
-                rows["thumb_h"].append(small.shape[0])
+                b = bytes(payload)
+                for ts in frame_sample_indices(int(dur), fps_ms):
+                    frame = decode_video_frame(b, int(ts), fake=True)
+                    small = resize_image(frame, tw, th)
+                    hist = np.bincount(
+                        (small.reshape(-1) >> 4), minlength=FEATURE_DIM
+                    ).astype(np.float32)
+                    n = np.linalg.norm(hist)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_ts_ms"].append(int(ts))
+                    rows["feature"].append(
+                        [float(x) for x in (hist / n if n > 0 else hist)]
+                    )
+                    rows["thumb_w"].append(small.shape[1])
+                    rows["thumb_h"].append(small.shape[0])
             yield pd.DataFrame(rows)
 
-    frames = (
+    n = media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    vids = (
         media.filter("kind = 'video' AND duration_ms > 0")
         .select(
             "media_id",
             "payload",
-            # duration_ms may arrive as int/long/double depending on the
-            # source (pandas nullable columns land as double) — normalize
-            # to LONG so sequence() type-checks everywhere
-            F.explode(
-                F.expr(
-                    "sequence(CAST(0 AS LONG), CAST(duration_ms AS LONG) - 1, "
-                    f"CAST({int(fps_ms)} AS LONG))"
-                )
-            ).alias("ts_l"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+            "url",
         )
-        .select(
-            "media_id", "payload", F.col("ts_l").cast("int").alias("frame_ts_ms")
-        )
+        .repartition(int(n), F.xxhash64("url"))
+        .drop("url")
     )
-    return frames.mapInPandas(gen, schema=FRAME_SCHEMA)
+    return vids.mapInPandas(gen, schema=FRAME_SCHEMA)
 
 
 def _feature_from_bytes(payload: bytes) -> np.ndarray:

@@ -79,6 +79,9 @@ def _banded_bucket_col(planes: np.ndarray, tables: int, multiprobe: int = 0):
     from pyspark.sql.functions import pandas_udf
 
     bits = planes.shape[0] // tables
+    # the table tag lives at bit 32 — a wider code would overflow into it,
+    # silently merging tables and letting probes cross blocks
+    assert bits <= 32, f"banded LSH supports at most 32 bits per table, got {bits}"
     P = planes.astype(np.float64).T.copy()  # (dim, tables*bits)
     pow2 = np.tile((1 << np.arange(bits)).astype(np.int64), tables)
     # scatter-add matrix folding (n, tables*bits) sign-weights into per-table

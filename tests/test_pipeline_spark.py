@@ -377,10 +377,11 @@ def test_multi_sink_snapshots_and_retention(spark, corpus):
         assert set(r.part_id for r in men.select("part_id").distinct().collect()) \
             == {0, 1, 2}
         # per-unit edges re-aggregate to the global graph over all triples
+        # (read_edges is the documented total-weight surface; edges/ holds
+        # per-unit partials)
         got = {
-            (r.src, r.dst, r.rel): round(r.w, 6)
-            for r in edg.groupBy("src", "dst", "rel")
-            .agg(F.sum("weight").alias("w")).collect()
+            (r.src, r.dst, r.rel): round(r.weight, 6)
+            for r in lineage.read_edges(spark, d).collect()
         }
         want = {
             (r.src, r.dst, r.rel): round(r.weight, 6)
@@ -405,6 +406,34 @@ def test_multi_sink_snapshots_and_retention(spark, corpus):
         expired_id = 0
         assert expired_id not in ids
         assert lineage.current_snapshot(d, snapshot_id=expired_id) is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_resume_added_sink_skips_committed_siblings(spark, corpus):
+    """Adding a sink to an existing output re-runs each unit's pipeline
+    (the new sink derives from it) but must NOT re-commit the sibling
+    sinks that are already manifested — no duplicate manifest rows, no
+    extra snapshots for the completed table."""
+    from char_ner_spark import lineage
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d = tempfile.mkdtemp()
+    try:
+        lineage.run_partitioned(spark, pages, alias, d, n_parts=2)
+        snap_before = lineage.current_snapshot(d)["snapshot_id"]
+        rows = lineage.run_partitioned(
+            spark, pages, alias, d, n_parts=2, sinks=("triples", "edges")
+        )
+        assert {r["stage"] for r in rows} == {"edges"}  # only the new sink
+        m = lineage.read_manifest(spark, d).toPandas()
+        tri_rows = m[m.stage == "triples"]
+        assert len(tri_rows) == 2 and sorted(tri_rows.part_id) == [0, 1]
+        assert len(m[m.stage == "edges"]) == 2
+        # triples snapshot untouched by the second run
+        assert lineage.current_snapshot(d)["snapshot_id"] == snap_before
+        assert lineage.read_edges(spark, d).count() > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -42,7 +42,10 @@ def main() -> int:
     ap.add_argument("--materialize-graph", action="store_true",
                     help="also materialize the entities/ and edges/ sinks "
                          "(snapshotted per table, same lineage treatment as "
-                         "triples/)")
+                         "triples/). NOTE: edges/ holds per-work-unit "
+                         "PARTIAL aggregates partitioned by part_id — read "
+                         "total weights via lineage.read_edges, not the "
+                         "directory directly")
     ap.add_argument("--retain-snapshots", type=int, default=None,
                     help="expire all but the newest N snapshot files per "
                          "table (bounds metadata growth at K~10k commits)")
