@@ -44,6 +44,7 @@ _EXPORTS = {
     "write_snapshot": "lineage",
     "current_snapshot": "lineage",
     "expire_snapshots": "lineage",
+    "compact_table": "lineage",
     "table_checksum": "lineage",
     # streaming
     "stream_pages": "streaming",

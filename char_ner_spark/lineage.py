@@ -346,6 +346,57 @@ def expire_snapshots(out_dir: str, table: str = "triples",
     return expired
 
 
+def compact_table(spark: SparkSession, out_dir: str, table: str = "triples",
+                  target_files: int = 1) -> dict[int, tuple[int, int]]:
+    """Small-file compaction for a snapshotted sink: rewrite each committed
+    part's many shuffle-task files as ``target_files`` coalesced files.
+
+    At K ~ 10k work units each leaving shuffle_partitions-many small
+    parquet files, scan planning and file-open overhead dominate reads —
+    the standard lakehouse fix is an idempotent rewrite. Protocol per
+    part: write the coalesced copy to a sibling ``<part>.compact.tmp``
+    dir, verify its checksum equals the live part's, then swap. A crash
+    between the swap's remove and rename leaves the tmp dir with the
+    verified content; the next call heals it before compacting further.
+    Checksums (and therefore the manifest and every snapshot) are
+    invariant — compaction changes file layout, never content. Returns
+    {part_id: (files_before, files_after)} for the parts rewritten."""
+    import shutil
+
+    snap = current_snapshot(out_dir, table=table)
+    parts = snap["completed"] if snap else []
+    base = os.path.join(out_dir, table)
+    stats: dict[int, tuple[int, int]] = {}
+    for pid in parts:
+        part = os.path.join(base, f"part_id={pid}")
+        tmp = part + ".compact.tmp"
+        if not os.path.isdir(part) and os.path.isdir(tmp):
+            os.rename(tmp, part)  # heal the crash window (content verified
+            # before the interrupted swap began)
+        elif os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # stale tmp from a pre-verify crash
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        if len(files) <= target_files:
+            continue
+        live = spark.read.parquet(part)
+        before = table_checksum(live)
+        live.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        after = table_checksum(spark.read.parquet(tmp))
+        if after != before:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compaction checksum mismatch for {table} part {pid}: "
+                f"{before} != {after}; live part left untouched"
+            )
+        shutil.rmtree(part)
+        os.rename(tmp, part)
+        n_after = len(
+            [f for f in os.listdir(part) if f.endswith(".parquet")]
+        )
+        stats[pid] = (len(files), n_after)
+    return stats
+
+
 def current_snapshot(out_dir: str, snapshot_id: int | None = None,
                      table: str = "triples") -> dict | None:
     """Resolve the `current` pointer (or a pinned id — time travel)."""

@@ -437,7 +437,8 @@ def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
 
 
 def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame],
-               alias_pdf: pd.DataFrame | None = None) -> DataFrame:
+               alias_pdf: pd.DataFrame | None = None,
+               broadcast_max_rows: int = 5_000_000) -> DataFrame:
     """Link each mention AND its sentence-adjacent successor in one pass:
     two broadcast joins against a RAW-surface winner table — no shuffle of
     the mention stream, and (critically) no normalization of it either.
@@ -447,18 +448,23 @@ def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame],
     was the scaling anchor: Java-regex pointer chasing saturates shared
     cache, so it sped up only 2x from 2→8 cores while the tagger did 3.6x)
     when applied per-mention. The mention joins hash raw strings instead.
-    With ``alias_pdf`` (broadcast-sized dictionary, the north_rule default)
-    winners come from the one-stage AliasIndex probe; otherwise from the
-    distributed LSH join."""
+    With ``alias_pdf`` within ``broadcast_max_rows`` (the north_rule
+    default: a broadcastable dictionary) winners come from the one-stage
+    AliasIndex probe; a dictionary beyond the broadcast budget — or none
+    supplied — takes the distributed LSH join, which produces identical
+    winners (path-equality tested)."""
     surfaces = mentions.select("surface").union(
         mentions.select(F.col("next_surface").alias("surface")).filter(
             F.col("next_surface").isNotNull()
         )
     ).distinct()
     surfaces = surfaces.localCheckpoint()  # feeds the probe AND the raw map
-    if alias_pdf is not None:
+    if alias_pdf is not None and len(alias_pdf) <= broadcast_max_rows:
         best = best_links_broadcast(mentions.sparkSession, surfaces, alias_pdf)
     else:
+        # dictionary beyond broadcast budget (or none supplied): the
+        # distributed banded-LSH join path — identical winners by the
+        # best_links ≡ best_links_broadcast path-equality contract
         best = best_links(surfaces, alias_tables)
     raw_map = _raw_winner_map(surfaces, best).localCheckpoint()
     # materialized ONCE — it feeds two broadcast joins, and broadcasting a

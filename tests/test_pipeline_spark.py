@@ -112,6 +112,34 @@ def test_link_paths_equivalent(spark, corpus):
     assert key(lsh) == key(bcast)
 
 
+def test_link_pairs_broadcast_budget_fallback_identical(spark, corpus):
+    """A dictionary past broadcast_max_rows must fall back to the
+    distributed LSH path with IDENTICAL links (the path-equality contract,
+    now exercised through link_pairs' own switch)."""
+    import pandas as pd
+
+    from char_ner_spark.pipeline import (
+        alias_spark_tables, link_pairs, tag_pages,
+    )
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    mentions = tag_pages(pages).localCheckpoint()
+    at = alias_spark_tables(spark, alias)
+    cols = ["url", "sent_idx", "begin", "surface", "entity_id", "link_score"]
+    bcast = link_pairs(mentions, at, alias_pdf=alias).select(*cols).toPandas()
+    dist = link_pairs(
+        mentions, at, alias_pdf=alias, broadcast_max_rows=0
+    ).select(*cols).toPandas()
+    key = lambda df: sorted(
+        (r.url, r.sent_idx, r.begin, r.surface,
+         None if pd.isna(r.entity_id) else int(r.entity_id),
+         None if pd.isna(r.link_score) else round(float(r.link_score), 9))
+        for r in df.itertuples()
+    )
+    assert key(bcast) == key(dist)
+
+
 def test_resume_skips_completed_and_output_identical(spark, corpus):
     from char_ner_spark import lineage
 
@@ -406,6 +434,65 @@ def test_multi_sink_snapshots_and_retention(spark, corpus):
         expired_id = 0
         assert expired_id not in ids
         assert lineage.current_snapshot(d, snapshot_id=expired_id) is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_table_preserves_content_and_heals(spark, corpus):
+    """Compaction rewrites each part's shuffle-task files as one file with
+    byte-identical content: manifest checksums stay valid, reads are
+    unchanged, a second call is a no-op, and the crash window (part
+    removed, verified tmp present) heals on the next call."""
+    from char_ner_spark import lineage
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d = tempfile.mkdtemp()
+    try:
+        lineage.run_partitioned(spark, pages, alias, d, n_parts=2)
+        before_rows = sorted(
+            map(tuple, lineage.read_triples(spark, d).toPandas()[
+                ["subj", "pred", "obj", "url", "sent_idx", "part_id"]
+            ].itertuples(index=False))
+        )
+        manifest = {
+            r.part_id: r.checksum
+            for r in lineage.read_manifest(spark, d).collect()
+        }
+        # AQE coalesces the tiny test corpus to single-file parts — fragment
+        # them the way a K~10k-unit production run does (shuffle_partitions
+        # files per part) so compaction has real work
+        for pid in (0, 1):
+            part = os.path.join(d, "triples", f"part_id={pid}")
+            pdf = spark.read.parquet(part)
+            pdf.repartition(4).write.mode("overwrite").parquet(part + ".frag")
+            shutil.rmtree(part)
+            os.rename(part + ".frag", part)
+            files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+            assert len(files) > 1, files
+        stats = lineage.compact_table(spark, d)
+        assert stats, "expected multi-file parts to compact"
+        for pid, (n_before, n_after) in stats.items():
+            assert n_before > 1 and n_after == 1, (pid, n_before, n_after)
+        for pid in (0, 1):
+            part = os.path.join(d, "triples", f"part_id={pid}")
+            files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+            assert len(files) == 1
+            n, checksum = lineage.table_checksum(spark.read.parquet(part))
+            assert checksum == manifest[pid]          # content invariant
+        after_rows = sorted(
+            map(tuple, lineage.read_triples(spark, d).toPandas()[
+                ["subj", "pred", "obj", "url", "sent_idx", "part_id"]
+            ].itertuples(index=False))
+        )
+        assert after_rows == before_rows
+        assert lineage.compact_table(spark, d) == {}  # idempotent no-op
+        # crash window: swap interrupted after remove — verified tmp only
+        part0 = os.path.join(d, "triples", "part_id=0")
+        os.rename(part0, part0 + ".compact.tmp")
+        lineage.compact_table(spark, d)
+        assert os.path.isdir(part0) and not os.path.isdir(part0 + ".compact.tmp")
+        assert lineage.read_triples(spark, d).count() == len(before_rows)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
