@@ -171,9 +171,19 @@ def stream_triples(
     canonical map) is built once and shared across all micro-batches, the
     streaming analog of run_partitioned's unit-invariant dict state.
 
+    Per-batch lineage (north_rule: every stage checkpoints counters): each
+    committed micro-batch appends a manifest row (stage="stream_triples",
+    part_id=batch_id, pages in, triples out, order-insensitive checksum)
+    to ``out_dir/_lineage`` — the streaming twin of run_partitioned's
+    per-unit rows. A replayed batch appends a fresh row with the same
+    batch_id; readers take the LAST row per part_id (completed_parts /
+    write_snapshot already resolve by recency), so the manifest history
+    shows the retry while the resolved state converges with the data.
+
     Returns the drained-stream StreamingQuery's final triples DataFrame
     (read back from out_dir).
     """
+    from .lineage import append_manifest, table_checksum
     from .pipeline import build_dictionary_state, extract_triples, link_pairs, middles_table, tag_pages
 
     dict_state = build_dictionary_state(spark, alias_pdf)
@@ -181,6 +191,8 @@ def stream_triples(
     middles = middles_table(spark)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import datetime as _dt
+
         mentions = tag_pages(batch_df, salt=salt)
         linked = link_pairs(mentions, alias_tables, alias_pdf=alias_pdf)
         triples = extract_triples(linked, dict_state["canon"], middles)
@@ -191,9 +203,8 @@ def stream_triples(
         # the output converges to the replay's content even when empty.
         import shutil as _shutil
 
-        _shutil.rmtree(
-            os.path.join(out_dir, f"batch_id={int(batch_id)}"), ignore_errors=True
-        )
+        part_dir = os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        _shutil.rmtree(part_dir, ignore_errors=True)
         (
             triples.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
@@ -201,6 +212,20 @@ def stream_triples(
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
+        if os.path.isdir(part_dir):
+            n_out, checksum = table_checksum(spark.read.parquet(part_dir))
+        else:
+            n_out, checksum = 0, "0" * 16  # batch yielded no triples
+        append_manifest(spark, out_dir, {
+            "stage": "stream_triples",
+            "part_id": int(batch_id),
+            "rows_in": batch_df.count(),
+            "rows_out": n_out,
+            "checksum": checksum,
+            "completed_at": _dt.datetime.now(_dt.timezone.utc).replace(
+                tzinfo=None
+            ),
+        })
 
     q = (
         stream_pages(spark, pages_dir)
@@ -211,12 +236,17 @@ def stream_triples(
     )
     q.awaitTermination()
     # a corpus yielding zero triples (or zero micro-batches) writes no
-    # parquet data files; read.parquet would then fail schema inference even
-    # though the stream itself succeeded — return a typed empty frame
+    # parquet DATA files; read.parquet would then fail schema inference even
+    # though the stream itself succeeded — return a typed empty frame.
+    # Only batch_id=*/ partitions count: Spark's reader skips underscore
+    # dirs (so _lineage never pollutes the data read), and the existence
+    # probe must skip them too or an all-empty stream would try to infer a
+    # schema from a directory holding only manifest rows.
     import glob as _glob
     import os as _os
 
-    if not _glob.glob(_os.path.join(out_dir, "**", "*.parquet"), recursive=True):
+    if not _glob.glob(_os.path.join(out_dir, "batch_id=*", "**", "*.parquet"),
+                      recursive=True):
         return spark.createDataFrame(
             [],
             "subj long, pred string, obj long, url string, sent_idx int, "

@@ -285,6 +285,36 @@ def test_stream_triples_replay_converges_not_duplicates(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_triples_per_batch_lineage_rows(spark):
+    """Each committed micro-batch must leave a manifest row whose rows_out
+    and checksum match the batch partition actually on disk (the streaming
+    twin of run_partitioned's per-unit lineage)."""
+    from char_ner_spark import lineage
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+
+    alias = make_alias_table(50, seed=42)
+    pdf = make_pages(20, seed=42, alias_df=alias)
+    d = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "pages")
+        out = os.path.join(d, "out")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+        got = ST.stream_triples(
+            spark, src, alias, out, os.path.join(d, "ck")
+        ).toPandas()
+        m = lineage.read_manifest(spark, out).toPandas()
+        m = m[m.stage == "stream_triples"]
+        assert len(m) >= 1
+        assert m.rows_in.sum() == len(pdf)
+        assert m.rows_out.sum() == len(got)
+        for r in m.itertuples():
+            part = os.path.join(out, f"batch_id={int(r.part_id)}")
+            n, checksum = lineage.table_checksum(spark.read.parquet(part))
+            assert (n, checksum) == (int(r.rows_out), r.checksum)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_replay_with_empty_batch_clears_stale_partition(spark):
     """ADVICE r2: dynamic partition overwrite only replaces partitions that
     RECEIVE rows. A replay whose micro-batch now yields ZERO triples (here:

@@ -49,6 +49,10 @@ def main() -> int:
     ap.add_argument("--retain-snapshots", type=int, default=None,
                     help="expire all but the newest N snapshot files per "
                          "table (bounds metadata growth at K~10k commits)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the units complete, rewrite each sink "
+                         "part's small shuffle-task files as one coalesced "
+                         "file (checksum-verified swap; content invariant)")
     args = ap.parse_args()
 
     import pandas as pd
@@ -87,6 +91,9 @@ def main() -> int:
         weights_map=weights_map, max_inflight=args.max_inflight,
         sinks=sinks, retain=args.retain_snapshots,
     )
+    if args.compact:
+        for table in sinks:
+            lineage.compact_table(spark, args.out, table=table)
     n_triples = lineage.read_triples(spark, args.out).count()
     units_run = len({r["part_id"] for r in rows if r["stage"] == "triples"})
     print(json.dumps({
