@@ -438,6 +438,32 @@ def test_multi_sink_snapshots_and_retention(spark, corpus):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_expire_snapshots_never_drops_pointer_target():
+    """Pure-filesystem edge: even when the `current` pointer targets a
+    snapshot OLDER than the keep-last window (e.g. after a rewind), expiry
+    must retain that file — a resolvable pointer is the invariant."""
+    import json
+
+    from char_ner_spark import lineage
+
+    d = tempfile.mkdtemp()
+    try:
+        meta = os.path.join(d, "metadata")
+        os.makedirs(meta)
+        for i in range(5):
+            with open(os.path.join(meta, f"snapshot-{i}.json"), "w") as f:
+                json.dump({"snapshot_id": i, "completed": []}, f)
+        with open(os.path.join(meta, "current"), "w") as f:
+            f.write("1")  # pointer rewound below the keep window
+        expired = lineage.expire_snapshots(d, keep_last=2)
+        assert expired == [0, 2]  # keeps 3,4 (newest 2) AND 1 (pointer)
+        assert lineage.current_snapshot(d)["snapshot_id"] == 1
+        assert lineage.current_snapshot(d, snapshot_id=4) is not None
+        assert lineage.current_snapshot(d, snapshot_id=0) is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compact_table_preserves_content_and_heals(spark, corpus):
     """Compaction rewrites each part's shuffle-task files as one file with
     byte-identical content: manifest checksums stay valid, reads are
