@@ -131,6 +131,18 @@ def run_partitioned(
     if unknown:
         raise ValueError(f"unknown sinks: {sorted(unknown)}")
     os.makedirs(out_dir, exist_ok=True)
+    # fail-loud on a unit-count change: part_id = pmod(xxhash64(url), K), so
+    # resuming an output produced under a different K would assign every url
+    # to a different unit — "completed" parts would silently cover the WRONG
+    # url slices and re-run units would double some urls and drop others
+    prev_snap = current_snapshot(out_dir)
+    if prev_snap is not None and prev_snap.get("n_parts") not in (None, n_parts):
+        raise ValueError(
+            f"{out_dir} was written with n_parts={prev_snap['n_parts']}; "
+            f"resuming with n_parts={n_parts} would remap the url→unit "
+            "assignment under the committed parts. Re-run with the original "
+            "n_parts, or start a fresh output directory."
+        )
     done = {s: completed_parts(spark, out_dir, s) for s in sinks}
     staged = pages.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")

@@ -438,6 +438,24 @@ def test_multi_sink_snapshots_and_retention(spark, corpus):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_resume_with_different_n_parts_fails_loud(spark, corpus):
+    """part_id = pmod(xxhash64(url), K): resuming under a different K would
+    silently remap every url's unit — must raise, never guess."""
+    from char_ner_spark import lineage
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d = tempfile.mkdtemp()
+    try:
+        lineage.run_partitioned(spark, pages, alias, d, n_parts=2)
+        with pytest.raises(ValueError, match="n_parts=2"):
+            lineage.run_partitioned(spark, pages, alias, d, n_parts=3)
+        # same K resumes fine (no-op)
+        assert lineage.run_partitioned(spark, pages, alias, d, n_parts=2) == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_expire_snapshots_never_drops_pointer_target():
     """Pure-filesystem edge: even when the `current` pointer targets a
     snapshot OLDER than the keep-last window (e.g. after a rewind), expiry
