@@ -33,7 +33,7 @@ def _make_zip(tmp: str) -> str:
     return zpath
 
 
-def _run_job(zpath: str, pages_dir: str, out_dir: str) -> dict:
+def _run_job(zpath: str, pages_dir: str, out_dir: str, *extra: str) -> dict:
     env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1")
     cmd = [
         _spark_submit(),
@@ -46,6 +46,7 @@ def _run_job(zpath: str, pages_dir: str, out_dir: str) -> dict:
         "--pages", pages_dir, "--out", out_dir,
         "--n-parts", "3", "--n-entities", "80",
         "--materialize-graph",
+        *extra,
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-3000:]
@@ -74,6 +75,7 @@ def test_spark_submit_job_runs_and_resumes(spark, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "entities"))
     assert os.path.exists(os.path.join(out_dir, "edges"))
 
-    second = _run_job(zpath, pages_dir, out_dir)
+    # resume + compaction in one shot: nothing re-runs, content unchanged
+    second = _run_job(zpath, pages_dir, out_dir, "--compact")
     assert second["units_run"] == 0          # full resume: nothing re-runs
     assert second["triples"] == first["triples"]
