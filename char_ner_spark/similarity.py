@@ -122,7 +122,7 @@ def lsh_topk(
     k: int = 10,
     bits: int = 6,
     multiprobe: int = 3,
-    dim: int = 64,
+    dim: int | None = None,
     tables: int = 1,
 ) -> DataFrame:
     """Bucketed approximate top-k: exact cosine within matching buckets only.
@@ -132,7 +132,10 @@ def lsh_topk(
     vec_id, cosine, rk). ``bits``/``tables`` trade candidate-set size
     against recall — at 10^9+ vectors raise ``bits`` (geometric bucket
     shrink) and recover recall with more ``tables``; the defaults keep
-    the small-corpus recall profile."""
+    the small-corpus recall profile. ``dim`` defaults to the data's own
+    embedding width (one 1-row probe)."""
+    if dim is None:
+        dim = vectors.selectExpr("size(embedding) d").first()["d"]
     planes = hyperplanes(dim, bits, tables=tables)
     v = with_banded_buckets(vectors.select("vec_id", "embedding"), planes, tables)
     q = with_banded_buckets(
