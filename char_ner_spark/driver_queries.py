@@ -835,8 +835,9 @@ _ANN_IVF_DUCK_SQL = """
     scored AS (
       SELECT query_id, vec_id,
              CAST(ROUND(CAST(list_dot_product(qe, qq) AS DOUBLE) * 1000000.0
-                  / (SQRT(CAST(list_dot_product(qe, qe) AS DOUBLE))
-                   * SQRT(CAST(list_dot_product(qq, qq) AS DOUBLE)))) AS BIGINT)
+                  / (SQRT(CAST(GREATEST(list_dot_product(qe, qe), 1) AS DOUBLE))
+                   * SQRT(CAST(GREATEST(list_dot_product(qq, qq), 1) AS DOUBLE))))
+               AS BIGINT)
                AS cosine_e6
       FROM v CROSS JOIN q),
     ranked AS (

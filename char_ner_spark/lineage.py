@@ -134,15 +134,21 @@ def run_partitioned(
     # fail-loud on a unit-count change: part_id = pmod(xxhash64(url), K), so
     # resuming an output produced under a different K would assign every url
     # to a different unit — "completed" parts would silently cover the WRONG
-    # url slices and re-run units would double some urls and drop others
-    prev_snap = current_snapshot(out_dir)
-    if prev_snap is not None and prev_snap.get("n_parts") not in (None, n_parts):
-        raise ValueError(
-            f"{out_dir} was written with n_parts={prev_snap['n_parts']}; "
-            f"resuming with n_parts={n_parts} would remap the url→unit "
-            "assignment under the committed parts. Re-run with the original "
-            "n_parts, or start a fresh output directory."
-        )
+    # url slices and re-run units would double some urls and drop others.
+    # EVERY table with a committed snapshot is checked, not just triples: an
+    # out_dir written with sinks=("edges",) carries its unit assignment in
+    # metadata/edges/ only, and the old triples-only probe silently let a
+    # different n_parts remap it (ADVICE r3)
+    for t in snapshot_tables(out_dir):
+        prev_snap = current_snapshot(out_dir, table=t)
+        if prev_snap is not None and prev_snap.get("n_parts") not in (None, n_parts):
+            raise ValueError(
+                f"{out_dir} ({t}) was written with n_parts="
+                f"{prev_snap['n_parts']}; resuming with n_parts={n_parts} "
+                "would remap the url→unit assignment under the committed "
+                "parts. Re-run with the original n_parts, or start a fresh "
+                "output directory."
+            )
     done = {s: completed_parts(spark, out_dir, s) for s in sinks}
     staged = pages.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
@@ -236,6 +242,21 @@ def run_partitioned(
 # — the shape a real catalog (Iceberg/Delta) would slot into behind the same
 # module boundary.
 # ---------------------------------------------------------------------------
+
+
+def snapshot_tables(out_dir: str) -> list[str]:
+    """Tables with a committed snapshot pointer in ``out_dir`` — the flat
+    ``metadata/`` location is the triples table; each ``metadata/<name>/``
+    subdirectory with a ``current`` pointer is another sink."""
+    meta = os.path.join(out_dir, "metadata")
+    out = []
+    if os.path.exists(os.path.join(meta, "current")):
+        out.append("triples")
+    if os.path.isdir(meta):
+        for d in sorted(os.listdir(meta)):
+            if os.path.exists(os.path.join(meta, d, "current")):
+                out.append(d)
+    return out
 
 
 def _snapshot_dir(out_dir: str, table: str = "triples") -> str:

@@ -135,7 +135,23 @@ def lsh_topk(
     the small-corpus recall profile. ``dim`` defaults to the data's own
     embedding width (one 1-row probe)."""
     if dim is None:
-        dim = vectors.selectExpr("size(embedding) d").first()["d"]
+        row = vectors.selectExpr("size(embedding) d").first()
+        if row is None:
+            # empty vector table: the top-k of nothing is empty — return a
+            # typed empty frame instead of letting the dim probe raise
+            # TypeError on the missing row (ADVICE r3)
+            return (
+                queries.limit(0).select("query_id")
+                .crossJoin(vectors.limit(0).select("vec_id"))
+                .withColumn("cosine", F.lit(None).cast("double"))
+                .withColumn("rk", F.lit(None).cast("int"))
+            )
+        dim = row["d"]
+        if dim is None or dim <= 0:
+            raise ValueError(
+                "vectors.embedding must be non-empty arrays (size probe "
+                f"returned {dim}); pass dim= explicitly to override"
+            )
     planes = hyperplanes(dim, bits, tables=tables)
     v = with_banded_buckets(vectors.select("vec_id", "embedding"), planes, tables)
     q = with_banded_buckets(
@@ -207,8 +223,13 @@ def ivf_topk_e6(
     scored = cand.selectExpr(
         "query_id",
         "vec_id",
+        # GREATEST(·,1): an all-zero (post-e3-quantization) embedding has
+        # nv/nq = 0 — the clamp makes its cosine a well-defined 0 instead
+        # of a divide-by-zero NULL, identically in Spark and the DuckDB
+        # oracle twin (_ANN_IVF_DUCK_SQL carries the same clamp)
         "CAST(ROUND(CAST(" + _IDOT.format(a="qe", b="qq") + " AS DOUBLE)"
-        " * 1000000.0 / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))))"
+        " * 1000000.0 / (SQRT(CAST(GREATEST(nv, 1) AS DOUBLE))"
+        " * SQRT(CAST(GREATEST(nq, 1) AS DOUBLE))))"
         " AS BIGINT) AS cosine_e6",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_e6"), F.asc("vec_id"))
@@ -341,7 +362,20 @@ def near_dup_candidates(
     Recall across ``tables`` independent tables: 1-(1-p^bits)^T, where
     p = 1-θ/π — at cosine 0.95 (θ≈18°) the defaults give ≈0.8; raise
     ``tables`` for more."""
-    dim = vectors.selectExpr("size(embedding) d").first()["d"]
+    row = vectors.selectExpr("size(embedding) d").first()
+    if row is None:
+        # no vectors → no pairs; typed empty frame, same columns as the
+        # bucket-join output (ADVICE r3: the dim probe raised TypeError)
+        left0 = vectors.limit(0).select(
+            F.expr("CAST(0 AS BIGINT)").alias("bucket"),
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+        )
+        right0 = vectors.limit(0).select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        )
+        return left0.crossJoin(right0)
+    dim = row["d"]
     planes = hyperplanes(dim, bits, tables=tables)
     b = with_banded_buckets(vectors.select("vec_id", "embedding"), planes, tables)
     left = b.select(

@@ -456,6 +456,29 @@ def test_resume_with_different_n_parts_fails_loud(spark, corpus):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_resume_n_parts_guard_covers_non_triples_sinks(spark, corpus):
+    """An out_dir written with sinks=("edges",) has no triples snapshot —
+    the unit-count guard must still fire off the edges metadata instead of
+    silently remapping the url→unit assignment (ADVICE r3)."""
+    from char_ner_spark import lineage
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d = tempfile.mkdtemp()
+    try:
+        lineage.run_partitioned(spark, pages, alias, d, n_parts=2,
+                                sinks=("edges",))
+        assert lineage.snapshot_tables(d) == ["edges"]
+        with pytest.raises(ValueError, match="edges.*n_parts=2"):
+            lineage.run_partitioned(spark, pages, alias, d, n_parts=3,
+                                    sinks=("edges",))
+        # even a different sink selection must respect the committed layout
+        with pytest.raises(ValueError, match="edges.*n_parts=2"):
+            lineage.run_partitioned(spark, pages, alias, d, n_parts=3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_expire_snapshots_never_drops_pointer_target():
     """Pure-filesystem edge: even when the `current` pointer targets a
     snapshot OLDER than the keep-last window (e.g. after a rewind), expiry

@@ -359,3 +359,39 @@ def test_ivf_centroids_deterministic(emb):
     assert np.array_equal(c1, c2)
     # normalized rows
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_empty_vector_tables_yield_empty_results(spark, emb, queries):
+    """ADVICE r3: the dim probe on an empty vectors frame raised TypeError;
+    both entry points must return a typed empty result instead."""
+    empty = emb.limit(0)
+    topk = SIM.lsh_topk(empty, queries, k=5)
+    assert topk.count() == 0
+    assert [f.name for f in topk.schema.fields] == [
+        "query_id", "vec_id", "cosine", "rk"
+    ]
+    cands = SIM.near_dup_candidates(empty)
+    assert cands.count() == 0
+    assert [f.name for f in cands.schema.fields] == [
+        "bucket", "vec_a", "ea", "vec_b", "eb"
+    ]
+    # the grouping built on top degrades gracefully too
+    assert SIM.embedding_near_dup_groups(empty).count() == 0
+
+
+def test_ivf_e6_zero_norm_vector_scores_zero(spark, emb, queries):
+    """ADVICE r3: a zero-norm embedding must score cosine_e6 = 0 (clamped
+    denominator), not divide-by-zero NULL — and stay rankable."""
+    from pyspark.sql import functions as F
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * dim)], "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    allv = emb.select("vec_id", F.col("embedding").cast("array<float>")
+                      .alias("embedding")).union(zero)
+    res = SIM.ivf_topk_e6(allv, queries, k=allv.count(), nlist=4).toPandas()
+    z = res[res.vec_id == 99999]
+    assert len(z) == len(res.query_id.unique())
+    assert (z.cosine_e6 == 0).all()
+    assert res.cosine_e6.notna().all()
