@@ -116,24 +116,53 @@ def with_banded_buckets(
     )
 
 
+def auto_lsh_params(n: int) -> tuple[int, int]:
+    """Occupancy-law LSH defaults for a corpus of ``n`` vectors: size the
+    per-table bucket count so expected occupancy stays near
+    ``_LSH_TARGET_OCCUPANCY`` (bits = ⌈log2(n / occupancy)⌉, clamped to
+    [6, 16]), then restore recall with more tables as buckets shrink.
+    This is what keeps the top-k entry point safe by DEFAULT at 10^9+
+    vectors: the round-2-era fixed 6-bit single table meant ~N²/64
+    within-bucket candidate pairs on a clustered corpus (hot-bucket
+    quadratic), while a fixed 16×8 would gut recall on small corpora.
+    Small n reproduces the historical small-corpus profile exactly
+    (6 bits × 1 table)."""
+    import math
+
+    bits = min(16, max(6, math.ceil(math.log2(max(n, 1) / _LSH_TARGET_OCCUPANCY))
+                       if n > _LSH_TARGET_OCCUPANCY else 6))
+    tables = 1 if bits <= 6 else (4 if bits <= 12 else 8)
+    return bits, tables
+
+
+#: target expected vectors per LSH bucket per table (auto_lsh_params)
+_LSH_TARGET_OCCUPANCY = 64
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int = 6,
+    bits: int | None = None,
     multiprobe: int = 3,
     dim: int | None = None,
-    tables: int = 1,
+    tables: int | None = None,
 ) -> DataFrame:
     """Bucketed approximate top-k: exact cosine within matching buckets only.
 
     Vectors get one true bucket per table; queries probe each table's
     bucket plus ``multiprobe`` single-bit flips. Returns (query_id,
     vec_id, cosine, rk). ``bits``/``tables`` trade candidate-set size
-    against recall — at 10^9+ vectors raise ``bits`` (geometric bucket
-    shrink) and recover recall with more ``tables``; the defaults keep
-    the small-corpus recall profile. ``dim`` defaults to the data's own
-    embedding width (one 1-row probe)."""
+    against recall — they default via :func:`auto_lsh_params` (one count
+    job) so a 10^9-vector corpus gets the banded 16×8 layout
+    ``near_dup_candidates`` uses while a small corpus keeps the 6-bit
+    single-table recall profile; pass them explicitly to pin either.
+    ``dim`` defaults to the data's own embedding width (one 1-row
+    probe)."""
+    if bits is None or tables is None:
+        abits, atables = auto_lsh_params(vectors.count())
+        bits = abits if bits is None else bits
+        tables = atables if tables is None else tables
     if dim is None:
         row = vectors.selectExpr("size(embedding) d").first()
         if row is None:

@@ -395,3 +395,76 @@ def test_ivf_e6_zero_norm_vector_scores_zero(spark, emb, queries):
     assert len(z) == len(res.query_id.unique())
     assert (z.cosine_e6 == 0).all()
     assert res.cosine_e6.notna().all()
+
+
+def test_auto_lsh_params_occupancy_law():
+    """Defaults derive from corpus size: small corpora keep the historical
+    6-bit single-table recall profile; web-scale corpora get the banded
+    16×8 layout near_dup_candidates uses (round-3 verdict item 2)."""
+    from char_ner_spark.similarity import auto_lsh_params
+
+    assert auto_lsh_params(0) == (6, 1)
+    assert auto_lsh_params(500) == (6, 1)      # the test-sf profile
+    assert auto_lsh_params(4096) == (6, 1)     # 64 * 2^6
+    assert auto_lsh_params(10**6) == (14, 8)
+    assert auto_lsh_params(10**9) == (16, 8)   # clamped; tables restore recall
+    # monotone non-decreasing in n
+    prev = (0, 0)
+    for n in (1, 100, 10**4, 10**5, 10**6, 10**8, 10**12):
+        cur = auto_lsh_params(n)
+        assert cur >= prev, (n, cur, prev)
+        prev = cur
+
+
+def test_lsh_topk_banded_shrinks_hot_bucket(spark):
+    """Round-3 verdict item 2: the hot-bucket shrink evidence extended to
+    the TOP-K entry point. Same degenerate clustered corpus as the
+    near-dup test; the banded 16×8 layout must score far fewer candidate
+    pairs than the 6-bit single table while keeping subset-of-exact
+    semantics and perfect self-recall."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    u = rng.normal(0, 1, 64)
+    u /= np.linalg.norm(u)
+    noise = rng.normal(0, 1, (200, 64)) / np.sqrt(64)
+    V = u[None, :] + noise
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    pdf = pd.DataFrame({
+        "vec_id": list(range(200)),
+        "embedding": [r.astype("float32") for r in V],
+    })
+    sdf = spark.createDataFrame(pdf)
+    qs = sdf.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # candidate volume: count rows surviving the bucket join pre-rank
+    def n_cands(bits, tables):
+        from char_ner_spark.similarity import hyperplanes, with_banded_buckets
+        planes = hyperplanes(64, bits, tables=tables)
+        v = with_banded_buckets(sdf, planes, tables)
+        q = with_banded_buckets(
+            qs.withColumnRenamed("embedding", "e2")
+              .withColumnRenamed("e2", "embedding"), planes, tables
+        ).withColumnRenamed("embedding", "q_embedding")
+        return (v.join(q, "bucket")
+                 .dropDuplicates(["query_id", "vec_id"]).count())
+
+    old = n_cands(6, 1)
+    new = n_cands(16, 8)
+    # clustered corpus funnels ~p^6 ≈ 9% of the 5×200 probe-pairs through
+    # a 6-bit table (seeded: 50); 16 bits × 8 tables ≈ 8·p^16 shrinks that
+    # geometrically while self-pairs always survive
+    assert old >= 40, (old,)
+    assert new * 2 < old, (new, old)
+    # the banded top-k stays subset-of-exact with self-recall intact
+    exact = SIM.cosine_topk(sdf, qs, k=200).toPandas()
+    emap = {(r.query_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    lsh = SIM.lsh_topk(sdf, qs, k=10, bits=16, tables=8, multiprobe=0).toPandas()
+    for r in lsh.itertuples():
+        assert abs(emap[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+    assert {(r.query_id, r.vec_id) for r in lsh[lsh.rk == 1].itertuples()} == {
+        (q, q) for q in range(5)
+    }
