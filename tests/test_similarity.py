@@ -194,13 +194,11 @@ def test_embedding_near_dup_groups_transitive_and_singletons(spark, emb):
     assert others and all(got[v] == v for v in others)
 
 
-def test_ngram_jaccard_hot_shingle_correction_exact(spark):
-    """With df_cap forced below real document frequencies, the hot-shingle
-    correction join must restore the exact uncapped Jaccard for every pair
-    that shares at least one sub-cap shingle (brute-force pandas oracle).
-    This is the only place the correction path carries weight — at the test
-    sfs no shingle exceeds the production cap, so it would otherwise be
-    dead code."""
+def test_ngram_jaccard_prefix_filter_exact(spark):
+    """Prefix-filtered candidate generation must reproduce the brute-force
+    Jaccard definition EXACTLY — including pairs whose only shared shingles
+    are hot (high df): the prefix filter has no recall caveat, unlike the
+    retired df_cap/hot-correction scheme."""
     import itertools
 
     import pandas as pd
@@ -232,19 +230,86 @@ def test_ngram_jaccard_hot_shingle_correction_exact(spark):
         if j >= 0.2:
             expect[(a, b)] = round(j * 10000)
 
-    # cap=2: "x y z" (df=6) and the group-shared shingles (df=2) split
-    # across rare/hot; every expected pair still shares >=1 rare shingle
-    got_df = ngram_jaccard_pairs(spark, "nj_test_docs", df_cap=2).toPandas()
+    got_df = ngram_jaccard_pairs(spark, "nj_test_docs").toPandas()
     got = {(r.doc_a, r.doc_b): r.jaccard_e4 for r in got_df.itertuples()}
-    # the hot path carries weight here by construction: "x y z" (df=6 > cap)
-    # contributes 1 to every pair's intersection, so a dead correction join
-    # would under-count every expected jaccard and fail this equality
     assert got == expect, (got, expect)
 
     # the per-call temp views must not leak into the session catalog
     leaked = [t.name for t in spark.catalog.listTables() if t.name.startswith("nj")
               and t.name != "nj_test_docs"]
     assert leaked == [], leaked
+
+
+def test_ngram_jaccard_prefix_filter_randomized_parity(spark):
+    """Fuzz the exactness claim: random corpora with planted near-dups,
+    shared boilerplate, and size skew must match the brute-force pandas
+    oracle pair-for-pair at several thresholds."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from char_ner_spark.driver_queries import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(20160731)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        k = 3 + rng.randint(15)
+        words = ["b1", "b2", "b3"] if rng.uniform() < 0.5 else []  # boilerplate
+        words += [vocab[rng.randint(len(vocab))] for _ in range(k)]
+        docs.append((i, " ".join(words)))
+        if rng.uniform() < 0.3:  # planted near-dup: one-word edit
+            w = docs[-1][1].split(" ")
+            w[rng.randint(len(w))] = vocab[rng.randint(len(vocab))]
+            docs.append((100 + i, " ".join(w)))
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    sdf.createOrReplaceTempView("nj_fuzz_docs")
+
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs if len(t.split(" ")) >= 3}
+    for te4 in (2000, 5000, 8000):
+        expect = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * 10000.0 / union >= te4:
+                expect[(a, b)] = round(inter * 10000.0 / union)
+        got_df = ngram_jaccard_pairs(spark, "nj_fuzz_docs",
+                                     threshold_e4=te4).toPandas()
+        got = {(r.doc_a, r.doc_b): r.jaccard_e4 for r in got_df.itertuples()}
+        assert got == expect, (te4, len(got), len(expect))
+
+
+def test_ngram_jaccard_degenerate_hot_shingle_candidates(spark):
+    """Round-3 verdict item 1's done-gate: 500 docs all sharing one df=500
+    shingle. The retired rare-shingle self-join would emit f²/2 ≈ 125k
+    candidate rows off that shingle alone; the prefix filter must emit
+    (near) none — the hot shingle sorts LAST in the global df order and
+    falls outside every doc's prefix."""
+    import pandas as pd
+
+    from char_ner_spark.driver_queries import (
+        ngram_jaccard_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    # each doc: one shared boilerplate trigram + 15 unique words
+    docs = [
+        (i, "hot boiler plate " + " ".join(f"u{i}_{j}" for j in range(15)))
+        for i in range(500)
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    sdf.createOrReplaceTempView("nj_degenerate_docs")
+
+    n_cand = ngram_jaccard_candidates(spark, "nj_degenerate_docs").count()
+    f2 = 500 * 499 // 2
+    assert n_cand * 100 < f2, (n_cand, f2)  # ≪ f², the quadratic is gone
+    # and the exact answer on this corpus is "no qualifying pairs"
+    assert ngram_jaccard_pairs(spark, "nj_degenerate_docs").count() == 0
 
 
 def test_ivf_full_probe_equals_exact(emb, queries):
