@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from .textops import char_ngrams, jaccard, normalize_surface
+from .textops import normalize_surface
 
 #: fuzzy candidates below this trigram-Jaccard are dropped
 JACCARD_MIN = 0.30
@@ -63,27 +63,53 @@ class AliasIndex:
             norm: best_candidate([(exact_score(p), e) for e, p in pairs])
             for norm, pairs in self.exact.items()
         }
-        self.row_grams: list[set] = [char_ngrams(n) for n in norms]
         self.row_ep: list[tuple[int, float]] = [
             (int(e), float(p))
             for e, p in zip(self.rows["entity_id"], self.rows["prior"])
         ]
 
     def _fuzzy(self, norm: str, bands) -> tuple[float, int] | None:
-        """Fuzzy winner for one normalized surface given its band hashes."""
-        grams = char_ngrams(norm)
-        cands: list[tuple[float, int]] = []
-        seen: set[int] = set()
-        for bi, bh in enumerate(bands):
-            for rid in self.bands.get((bi, int(bh)), []):
-                if rid in seen:
-                    continue
-                seen.add(rid)
-                j = jaccard(grams, self.row_grams[rid])
-                if j >= JACCARD_MIN:
-                    eid, prior = self.row_ep[rid]
-                    cands.append((fuzzy_score(j, prior), eid))
-        return best_candidate(cands)
+        """Fuzzy winner for one normalized surface given its band hashes.
+        Single-row view of :meth:`_fuzzy_batch` (one code path, no drift)."""
+        return self._fuzzy_batch([norm], [bands])[0]
+
+    def _fuzzy_batch(self, norms: list[str], bands_rows) -> list:
+        """Fuzzy winners for a batch of normalized surfaces given their
+        band-hash rows. Bucket probes stay dict lookups (bounded: 8 bands
+        per surface); the Jaccard over all gathered (surface, alias-row)
+        candidate pairs runs as ONE textops.batch_jaccard_pairs call
+        (sorted-array set ops over packed gram codes) instead of building
+        two Python gram sets per candidate — the round-3 verdict's
+        remaining interpreter loop on the beyond-broadcast path."""
+        from .textops import batch_jaccard_pairs
+
+        pair_i: list[int] = []
+        pair_rid: list[int] = []
+        for i, bands in enumerate(bands_rows):
+            seen: set[int] = set()
+            for bi, bh in enumerate(bands):
+                for rid in self.bands.get((bi, int(bh)), []):
+                    if rid not in seen:
+                        seen.add(rid)
+                        pair_i.append(i)
+                        pair_rid.append(rid)
+        out: list = [None] * len(norms)
+        if not pair_i:
+            return out
+        jaccs = batch_jaccard_pairs(
+            [norms[i] for i in pair_i],
+            [self.rows["alias_norm"].iloc[rid] for rid in pair_rid],
+            already_norm=True,
+        )
+        cands: dict[int, list[tuple[float, int]]] = {}
+        for k, (i, rid) in enumerate(zip(pair_i, pair_rid)):
+            j = float(jaccs[k])
+            if j >= JACCARD_MIN:
+                eid, prior = self.row_ep[rid]
+                cands.setdefault(i, []).append((fuzzy_score(j, prior), eid))
+        for i, cl in cands.items():
+            out[i] = best_candidate(cl)
+        return out
 
     def link(self, surface: str) -> tuple[int, float] | None:
         """Surface → (entity_id, score) or None (unlinkable)."""
@@ -117,8 +143,8 @@ class AliasIndex:
             bands = minhash_bands_batch(
                 [norms[i] for i in fuzzy_idx], already_norm=True
             )
-            for j, i in enumerate(fuzzy_idx):
-                best = self._fuzzy(norms[i], bands[j])
+            bests = self._fuzzy_batch([norms[i] for i in fuzzy_idx], bands)
+            for best, i in zip(bests, fuzzy_idx):
                 if best is not None:
                     out[i] = (best[1], best[0])
         return out

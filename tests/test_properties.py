@@ -128,3 +128,81 @@ def test_extract_text_single_unescape(payload):
     html = f"<html><body><p>{payload}&amp;lt;</p></body></html>".encode()
     out = textops.extract_text(html)
     assert out.endswith("&lt;")
+
+
+def test_batch_jaccard_pairs_matches_set_jaccard():
+    """The packed-gram-code sorted-array Jaccard must equal the Python-set
+    definition bit-for-bit, pair by pair (round-4: it replaced the per-row
+    set builds on the fuzzy-scoring paths)."""
+    import numpy as np
+
+    from char_ner_spark.textops import (
+        batch_jaccard_pairs,
+        char_ngrams,
+        jaccard,
+        normalize_surface,
+    )
+
+    rng = np.random.RandomState(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    def rand_s():
+        k = rng.randint(0, 14)
+        return "".join(alphabet[rng.randint(len(alphabet))] for _ in range(k))
+
+    left = [rand_s() for _ in range(500)] + ["", "a", "ab", "acme corp"]
+    right = [rand_s() for _ in range(500)] + ["", "b", "ab", "acme corpp"]
+    got = batch_jaccard_pairs(left, right)
+    for i, (l, r) in enumerate(zip(left, right)):
+        ln, rn = normalize_surface(l), normalize_surface(r)
+        want = jaccard(char_ngrams(ln), char_ngrams(rn))
+        assert got[i] == want, (i, l, r, got[i], want)
+    # already_norm path agrees on normalized inputs
+    norm_l = [normalize_surface(s) for s in left]
+    norm_r = [normalize_surface(s) for s in right]
+    got2 = batch_jaccard_pairs(norm_l, norm_r, already_norm=True)
+    assert np.array_equal(got, got2)
+
+
+def test_fuzzy_batch_equals_per_surface_fuzzy():
+    """AliasIndex._fuzzy_batch must reproduce the historical per-surface
+    probe exactly (scores, winners, unlinkables)."""
+    from char_ner_spark.fixtures import make_alias_table
+    from char_ner_spark.linking import AliasIndex
+    from char_ner_spark.textops import minhash_bands_batch, normalize_surface
+
+    idx = AliasIndex(make_alias_table(n_entities=60, seed=5))
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    surfaces = []
+    for alias in idx.rows["alias"].tolist()[:120]:
+        s = list(alias)
+        if len(s) > 2:
+            s[rng.randint(len(s))] = "x"  # typo → fuzzy path
+        surfaces.append("".join(s))
+    norms = [normalize_surface(s) for s in surfaces]
+    bands = minhash_bands_batch(norms, already_norm=True)
+    batch = idx._fuzzy_batch(norms, bands)
+
+    # the historical per-surface probe, reimplemented from sets (the live
+    # _fuzzy delegates to _fuzzy_batch, so compare against first principles)
+    from char_ner_spark.linking import JACCARD_MIN, best_candidate, fuzzy_score
+    from char_ner_spark.textops import char_ngrams, jaccard
+
+    hits = 0
+    for i, norm in enumerate(norms):
+        grams = char_ngrams(norm)
+        cands, seen = [], set()
+        for bi, bh in enumerate(bands[i]):
+            for rid in idx.bands.get((bi, int(bh)), []):
+                if rid in seen:
+                    continue
+                seen.add(rid)
+                j = jaccard(grams, char_ngrams(idx.rows["alias_norm"].iloc[rid]))
+                if j >= JACCARD_MIN:
+                    eid, prior = idx.row_ep[rid]
+                    cands.append((fuzzy_score(j, prior), eid))
+        want = best_candidate(cands)
+        assert batch[i] == want, (i, norm, batch[i], want)
+        hits += want is not None
+    assert hits > 20, hits  # the fuzzy path actually carried weight here
