@@ -17,7 +17,7 @@ import datetime as dt
 import numpy as np
 import pandas as pd
 
-from .relations import LANGS, MIDDLES
+from .relations import GAP_MIDDLES, LANGS, MIDDLES, _parse_template
 
 _SYL = ["ka", "lo", "mi", "ran", "vel", "tor", "ben", "sa", "du", "pex",
         "nor", "li", "gar", "zu", "fen", "hol", "qui", "bra", "ste", "mon"]
@@ -101,6 +101,7 @@ def make_pages(
         lang = LANGS[rng.randint(len(LANGS))]
         pool = by_lang[lang]
         middles = sorted(MIDDLES[lang])
+        gap_specs = sorted(GAP_MIDDLES.get(lang, {}))
         n_sents = sents_lo + rng.randint(sents_hi - sents_lo + 1)
         sents = []
         for _ in range(n_sents):
@@ -113,7 +114,21 @@ def make_pages(
                     # kept, web text contains them and oracle + engine must
                     # handle them identically (and are tested to)
                     j = (j + 1) % len(pool)
-                mid = middles[rng.randint(len(middles))]
+                if gap_specs and rng.uniform() < 0.3:
+                    # round-4: instantiate a bounded-gap template with
+                    # 1..gmax filler tokens (fires) or gmax+1 (over bound,
+                    # must NOT fire) — the golden corpus exercises both
+                    # sides of the bound so oracle/Spark drift would show
+                    spec = gap_specs[rng.randint(len(gap_specs))]
+                    pre, gmax, post = _parse_template(spec)
+                    k = 1 + rng.randint(gmax + 1)  # 1..gmax+1
+                    filler = _FILLER[lang]
+                    fills = tuple(
+                        filler[rng.randint(len(filler))] for _ in range(k)
+                    )
+                    mid = " " + " ".join(pre + fills + post) + " "
+                else:
+                    mid = middles[rng.randint(len(middles))]
                 sents.append(f"{pool.alias.iloc[i]}{mid}{pool.alias.iloc[j]}.")
             else:
                 filler = _FILLER[lang]

@@ -632,14 +632,55 @@ def _gap_norm_col(c):
 
 
 def middles_table(spark: SparkSession) -> DataFrame:
+    """Broadcast template table, one row per (template, filler count):
+    a bounded-gap template (pre, gmax, post) explodes into rows f=0..gmax,
+    so matching stays a pure EQUI-join on (lang, pre, post, f) — the same
+    broadcast-hash-join plan shape the exact-middle table had (round-4:
+    SURVEY §2.9 M8 bounded-gap patterns)."""
     rows = [
-        (lang, norm_mid, pred, subj_left)
-        for lang, mids in relations.NORM_MIDDLES.items()
-        for norm_mid, (pred, subj_left) in mids.items()
+        (lang, " ".join(pre), " ".join(post), f, pred, subj_left)
+        for lang, specs in relations.TEMPLATES.items()
+        for pre, gmax, post, pred, subj_left in specs
+        for f in range(gmax + 1)
     ]
     return spark.createDataFrame(
-        rows, "lang string, gap_norm string, pred string, subj_left boolean"
+        sorted(set(rows)),
+        "lang string, pre string, post string, f int, pred string, "
+        "subj_left boolean",
     )
+
+
+def _gap_keys_col(gap_norm):
+    """Candidate (pre, post, f) join keys for one observed normalized gap —
+    the probe side of the bounded-gap template join. For each template
+    SHAPE (|pre| tokens, |post| tokens — driver-side constants from
+    relations.TEMPLATE_SHAPES) the gap's first |pre| and last |post| tokens
+    form a key with filler count f = n - |pre| - |post|, emitted only when
+    0 ≤ f ≤ that shape's max gap bound. All JVM expressions (split/slice/
+    array_join) — most pairs emit ZERO keys (long gaps exceed every
+    shape's bound), so explode drops them before the broadcast join ever
+    sees them; the per-pair key fan-out is bounded by the handful of
+    registry shapes, never by gap length."""
+    toks = F.split(F.trim(gap_norm), " ")
+    toks = F.when(F.trim(gap_norm) == "", F.array().cast("array<string>")) \
+        .otherwise(toks)
+    n = F.size(toks)
+    keys = []
+    for (pl, jl), fmax in sorted(relations.TEMPLATE_SHAPES.items()):
+        f = n - F.lit(pl) - F.lit(jl)
+        keys.append(
+            F.when(
+                (n >= pl + jl) & (f <= fmax),
+                F.struct(
+                    F.array_join(F.slice(toks, 1, pl), " ").alias("pre"),
+                    F.array_join(
+                        F.slice(toks, n - F.lit(jl) + 1, jl), " "
+                    ).alias("post"),
+                    f.cast("int").alias("f"),
+                ),
+            )
+        )
+    return F.filter(F.array(*keys), lambda x: x.isNotNull())
 
 
 def extract_triples(linked_pairs: DataFrame, canon: DataFrame, middles: DataFrame) -> DataFrame:
@@ -653,7 +694,10 @@ def extract_triples(linked_pairs: DataFrame, canon: DataFrame, middles: DataFram
             F.col("entity_id").isNotNull() & F.col("next_entity").isNotNull()
         )
         .withColumn("gap_norm", _gap_norm_col(F.col("next_gap")))
-        .join(F.broadcast(middles), ["lang", "gap_norm"], "inner")
+        .withColumn("gk", F.explode(_gap_keys_col(F.col("gap_norm"))))
+        .select("*", F.col("gk.pre").alias("pre"),
+                F.col("gk.post").alias("post"), F.col("gk.f").alias("f"))
+        .join(F.broadcast(middles), ["lang", "pre", "post", "f"], "inner")
     )
     canon_b = F.broadcast(canon)
     trip = (

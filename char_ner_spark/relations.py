@@ -45,6 +45,21 @@ MIDDLES: dict[str, dict[str, tuple[str, bool]]] = {
     },
 }
 
+#: bounded-gap templates (round-4, SURVEY §2.9 M8 "regex/POS-lite"): the
+#: ``<N>`` slot admits up to N filler tokens at that position, so
+#: " acquired rival " and " acquired the startup " fire while
+#: " acquired the giant rival conglomerate " (over bound) does not.
+#: Exactly one slot per template; literal parts normalize like any middle.
+GAP_MIDDLES: dict[str, dict[str, tuple[str, bool]]] = {
+    "en": {
+        " acquired <2> ": ("acquired", True),
+        " was born <1> in ": ("born_in", True),
+    },
+    "de": {" übernahm <2> ": ("acquired", True)},
+    "es": {" adquirió <2> ": ("acquired", True)},
+    "nl": {" kocht <2> ": ("acquired", True)},
+}
+
 PREDICATES = sorted({p for m in MIDDLES.values() for p, _ in m.values()})
 
 # Gap normalization (round-3): template lookup happens on a TOKENIZED gap —
@@ -81,11 +96,73 @@ NORM_MIDDLES: dict[str, dict[str, tuple[str, bool]]] = {
 for _lang, _mids in MIDDLES.items():  # normalization must not merge templates
     assert len(NORM_MIDDLES[_lang]) == len(_mids), _lang
 
+_GAP_SLOT_RE = _re.compile(r"^<(\d+)>$")
+
+
+def _parse_template(spec: str) -> tuple[tuple[str, ...], int, tuple[str, ...]]:
+    """Template spec → (pre_tokens, gap_max, post_tokens). Specs without a
+    ``<N>`` slot parse as exact (gap_max 0, empty post). Literal parts are
+    normalized with the same rule as observed gaps."""
+    raw = spec.split()
+    slots = [i for i, t in enumerate(raw) if _GAP_SLOT_RE.match(t)]
+    if not slots:
+        toks = tuple(normalize_gap(spec).split())
+        return toks, 0, ()
+    assert len(slots) == 1, f"one gap slot per template: {spec!r}"
+    i = slots[0]
+    gmax = int(_GAP_SLOT_RE.match(raw[i]).group(1))
+    pre = tuple(normalize_gap(" ".join(raw[:i])).split())
+    post = tuple(normalize_gap(" ".join(raw[i + 1:])).split())
+    assert pre or post, f"a template needs literal tokens: {spec!r}"
+    return pre, gmax, post
+
+
+#: lang → [(pre_tokens, gap_max, post_tokens, predicate, subj_is_left)];
+#: one registry drives the Python oracle (match_middles), the Spark
+#: broadcast template table (pipeline.middles_table) and the Spark gap-key
+#: generator (pipeline — the three MUST stay in lockstep)
+TEMPLATES: dict[str, list[tuple[tuple[str, ...], int, tuple[str, ...], str, bool]]] = {
+    lang: sorted(
+        {
+            (*_parse_template(spec), pred, subj_left)
+            for spec, (pred, subj_left) in
+            list(mids.items()) + list(GAP_MIDDLES.get(lang, {}).items())
+        }
+    )
+    for lang, mids in MIDDLES.items()
+}
+
+#: distinct (|pre|, |post|) → max gap bound among templates of that shape,
+#: across ALL languages — the driver-side constants the Spark key generator
+#: expands observed gaps against (lang mismatches die in the equi-join)
+TEMPLATE_SHAPES: dict[tuple[int, int], int] = {}
+for _ts in TEMPLATES.values():
+    for _pre, _gmax, _post, _p, _s in _ts:
+        k = (len(_pre), len(_post))
+        TEMPLATE_SHAPES[k] = max(TEMPLATE_SHAPES.get(k, 0), _gmax)
+
+
+def match_middles(lang: str, middle: str) -> list[tuple[str, bool]]:
+    """ALL template hits for the text between two mentions, deduplicated
+    and deterministically ordered. A template (pre, gmax, post) matches
+    when the normalized gap tokens are pre ++ filler(≤gmax) ++ post."""
+    toks = normalize_gap(middle).split()
+    n = len(toks)
+    hits: set[tuple[str, bool]] = set()
+    for pre, gmax, post, pred, subj_left in TEMPLATES.get(lang, []):
+        lp, lq = len(pre), len(post)
+        if lp + lq <= n <= lp + lq + gmax \
+                and tuple(toks[:lp]) == pre \
+                and (not lq or tuple(toks[n - lq:]) == post):
+            hits.add((pred, subj_left))
+    return sorted(hits)
+
 
 def match_middle(lang: str, middle: str) -> tuple[str, bool] | None:
-    """Middle text between two mentions → (predicate, subj_is_left) or None.
-    Matches on the normalized gap (tokenized middles)."""
-    return NORM_MIDDLES.get(lang, {}).get(normalize_gap(middle))
+    """First (deterministic) template hit or None. Historical single-hit
+    surface; sentence extraction emits EVERY hit via match_middles."""
+    hits = match_middles(lang, middle)
+    return hits[0] if hits else None
 
 
 def extract_sentence_triples(
@@ -102,11 +179,8 @@ def extract_sentence_triples(
     ms = sorted(mentions)
     for left, right in zip(ms, ms[1:]):
         middle = sent_text[left[1] : right[0]]
-        hit = match_middle(lang, middle)
-        if hit is None:
-            continue
-        pred, subj_left = hit
-        subj, obj = (left[2], right[2]) if subj_left else (right[2], left[2])
-        conf = round(min(left[3], right[3]), 6)
-        out.append((subj, pred, obj, conf))
+        for pred, subj_left in match_middles(lang, middle):
+            subj, obj = (left[2], right[2]) if subj_left else (right[2], left[2])
+            conf = round(min(left[3], right[3]), 6)
+            out.append((subj, pred, obj, conf))
     return out
