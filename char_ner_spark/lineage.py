@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 LINEAGE_COLS = ["stage", "part_id", "rows_in", "rows_out", "checksum", "completed_at"]
 
+#: current table_checksum recipe epoch (see write_snapshot); bump whenever
+#: the checksum recipe changes incompatibly
+CHECKSUM_VER = 2
+
 
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
@@ -141,13 +145,24 @@ def run_partitioned(
     # different n_parts remap it (ADVICE r3)
     for t in snapshot_tables(out_dir):
         prev_snap = current_snapshot(out_dir, table=t)
-        if prev_snap is not None and prev_snap.get("n_parts") not in (None, n_parts):
+        if prev_snap is None:
+            continue
+        if prev_snap.get("n_parts") not in (None, n_parts):
             raise ValueError(
                 f"{out_dir} ({t}) was written with n_parts="
                 f"{prev_snap['n_parts']}; resuming with n_parts={n_parts} "
                 "would remap the url→unit assignment under the committed "
                 "parts. Re-run with the original n_parts, or start a fresh "
                 "output directory."
+            )
+        if prev_snap.get("checksum_ver") != CHECKSUM_VER:
+            raise ValueError(
+                f"{out_dir} ({t}) was written under checksum recipe "
+                f"v{prev_snap.get('checksum_ver')} (pre-multi-sink); this "
+                f"code records v{CHECKSUM_VER} checksums, so resumed parts "
+                "could not be integrity-compared against the committed "
+                "manifest. Start a fresh output directory (or re-run the "
+                "whole job into it)."
             )
     done = {s: completed_parts(spark, out_dir, s) for s in sinks}
     staged = pages.withColumn(
@@ -326,6 +341,12 @@ def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int,
     snap = {
         "snapshot_id": n,
         "table": table,
+        # checksum recipe epoch: 2 = table_checksum hashes EVERY column of
+        # the written part including part_id (the round-3 multi-sink
+        # change). Snapshots written before the tag (or by pre-round-3
+        # code) are not checksum-comparable; resume fails loud on them
+        # instead of silently trusting incomparable digests.
+        "checksum_ver": CHECKSUM_VER,
         "n_parts": n_parts,
         "parent_id": prev["snapshot_id"] if prev else None,
         "completed": [p["part_id"] for p in parts],
