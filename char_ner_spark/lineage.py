@@ -271,18 +271,42 @@ def snapshot_tables(out_dir: str) -> list[str]:
         for d in sorted(os.listdir(meta)):
             if os.path.exists(os.path.join(meta, d, "current")):
                 out.append(d)
+    umeta = os.path.join(out_dir, "_snapshots")  # root-layout tables (stream)
+    if os.path.isdir(umeta):
+        for d in sorted(os.listdir(umeta)):
+            if os.path.exists(os.path.join(umeta, d, "current")):
+                out.append(d)
     return out
 
 
 def _snapshot_dir(out_dir: str, table: str = "triples") -> str:
     """Per-table snapshot metadata. The triples (flagship) table keeps the
     historical flat ``metadata/`` location; every other sink namespaces
-    under ``metadata/<table>/``."""
+    under ``metadata/<table>/`` — except tables whose DATA lives at the
+    out_dir root (the streaming sink): their metadata hides under
+    ``_snapshots/<table>/``, because Spark's partition discovery over
+    ``batch_id=*`` treats any non-underscore sibling directory as a
+    conflicting partition root."""
+    if _TABLE_LAYOUT.get(table, (table,))[0] == "":
+        return os.path.join(out_dir, "_snapshots", table)
     meta = os.path.join(out_dir, "metadata")
     return meta if table == "triples" else os.path.join(meta, table)
 
 
-def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int,
+#: physical layout per table: (data subdir under out_dir, partition-dir
+#: prefix). Batch sinks live at out_dir/<table>/part_id=N; the streaming
+#: sink kept its historical layout (out_dir/batch_id=N, the partition key
+#: IS the micro-batch id) when it joined the snapshot machinery in round 4.
+_TABLE_LAYOUT: dict[str, tuple[str, str]] = {"stream_triples": ("", "batch_id")}
+
+
+def _table_base(out_dir: str, table: str) -> tuple[str, str]:
+    """(data base dir, partition-dir prefix) for a snapshotted table."""
+    sub, prefix = _TABLE_LAYOUT.get(table, (table, "part_id"))
+    return (os.path.join(out_dir, sub) if sub else out_dir), prefix
+
+
+def write_snapshot(spark: SparkSession, out_dir: str, n_parts: int | None,
                    schema_json: str | None = None,
                    add_part: dict | None = None,
                    table: str = "triples",
@@ -419,11 +443,13 @@ def compact_table(spark: SparkSession, out_dir: str, table: str = "triples",
 
     snap = current_snapshot(out_dir, table=table)
     parts = snap["completed"] if snap else []
-    base = os.path.join(out_dir, table)
+    base, prefix = _table_base(out_dir, table)
     stats: dict[int, tuple[int, int]] = {}
     for pid in parts:
-        part = os.path.join(base, f"part_id={pid}")
+        part = os.path.join(base, f"{prefix}={pid}")
         tmp = part + ".compact.tmp"
+        if not os.path.isdir(part) and not os.path.isdir(tmp):
+            continue  # zero-row part (e.g. an empty replayed micro-batch)
         if not os.path.isdir(part) and os.path.isdir(tmp):
             os.rename(tmp, part)  # heal the crash window (content verified
             # before the interrupted swap began)
@@ -471,15 +497,26 @@ def current_snapshot(out_dir: str, snapshot_id: int | None = None,
 def read_table(spark: SparkSession, out_dir: str, table: str,
                snapshot_id: int | None = None) -> DataFrame:
     """Read any snapshotted sink via its pointer (pin ``snapshot_id`` for
-    time travel); falls back to a directory glob when no snapshot exists."""
-    base = os.path.join(out_dir, table)
+    time travel); falls back to a directory glob when no snapshot exists.
+    Zero-row parts are skipped — a replayed streaming micro-batch that
+    converged to empty commits rows=0 with NO partition directory on disk
+    (the replay removed the stale one), so its path must not reach the
+    reader."""
+    base, prefix = _table_base(out_dir, table)
     snap = current_snapshot(out_dir, snapshot_id, table=table)
     if snap is not None:
-        paths = [os.path.join(base, f"part_id={p}") for p in snap["completed"]]
+        if snap.get("manifest"):
+            parts = [p["part_id"] for p in snap["manifest"]
+                     if p.get("rows", 1) > 0]
+        else:
+            parts = snap["completed"]
+        paths = [os.path.join(base, f"{prefix}={p}") for p in parts]
         if not paths:
             return spark.read.option("basePath", base).parquet(base).limit(0)
         return spark.read.option("basePath", base).parquet(*paths)
-    return spark.read.option("basePath", base).parquet(os.path.join(base, "part_id=*"))
+    return spark.read.option("basePath", base).parquet(
+        os.path.join(base, f"{prefix}=*")
+    )
 
 
 def read_triples(spark: SparkSession, out_dir: str,

@@ -158,6 +158,7 @@ def stream_triples(
     out_dir: str,
     checkpoint_dir: str,
     salt: int = 16,
+    retain: int | None = None,
 ):
     """The FULL KG pipeline as a stream: pages file-source → foreachBatch
     running the same batch stages (fused extract+tag → link → canonicalize →
@@ -180,10 +181,22 @@ def stream_triples(
     write_snapshot already resolve by recency), so the manifest history
     shows the retry while the resolved state converges with the data.
 
+    Snapshots (round-4): every committed micro-batch also commits a
+    ``stream_triples`` snapshot line (metadata/stream_triples/), the same
+    machinery the batch sinks use — so a streamed output is readable via
+    ``lineage.read_table(out_dir, "stream_triples")`` with time-travel,
+    ``compact_table`` can rewrite its small files checksum-verified, and
+    ``retain`` bounds snapshot history. A replayed batch REPLACES its own
+    manifest entry (add_part keys by part_id), converging metadata with
+    the data; an empty replay commits rows=0 and readers skip the part.
+    ``n_parts`` is recorded as None — micro-batch ids are an open-ended
+    sequence, not a fixed unit count, so the batch-side resume guard
+    treats the table as wildcard.
+
     Returns the drained-stream StreamingQuery's final triples DataFrame
     (read back from out_dir).
     """
-    from .lineage import append_manifest, table_checksum
+    from .lineage import append_manifest, table_checksum, write_snapshot
     from .pipeline import build_dictionary_state, extract_triples, link_pairs, middles_table, tag_pages
 
     dict_state = build_dictionary_state(spark, alias_pdf)
@@ -226,6 +239,13 @@ def stream_triples(
                 tzinfo=None
             ),
         })
+        write_snapshot(
+            spark, out_dir, n_parts=None, table="stream_triples",
+            schema_json=triples.schema.json(),
+            add_part={"part_id": int(batch_id), "rows": n_out,
+                      "checksum": checksum},
+            retain=retain,
+        )
 
     q = (
         stream_pages(spark, pages_dir)

@@ -353,3 +353,98 @@ def test_stream_replay_with_empty_batch_clears_stale_partition(spark):
         assert len(second) == 0, second.head()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_triples_snapshot_read_time_travel_compaction(spark):
+    """Round-4 (verdict item 6): the streaming sink rides the same
+    snapshot machinery as the batch sinks — readable via
+    lineage.read_table(..., 'stream_triples') with time-travel, and
+    compact_table rewrites its small files with checksums preserved."""
+    from char_ner_spark import lineage
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+
+    alias = make_alias_table(60, seed=42)
+    pdf = make_pages(40, seed=42, alias_df=alias)
+    d = tempfile.mkdtemp()
+    ck = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "pages")
+        out = os.path.join(d, "triples_out")
+        # two drains against one checkpoint → two committed micro-batches;
+        # AQE partition coalescing off so each batch leaves several small
+        # files (the compaction test needs real work to do)
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev_coalesce = spark.conf.get(coalesce_key, "true")
+        spark.conf.set(coalesce_key, "false")
+        spark.createDataFrame(pdf.iloc[:20]).coalesce(1).write.mode("overwrite").parquet(src)
+        ST.stream_triples(spark, src, alias, out, ck)
+        spark.createDataFrame(pdf.iloc[20:]).coalesce(1).write.mode("append").parquet(src)
+        got = ST.stream_triples(spark, src, alias, out, ck).toPandas()
+        spark.conf.set(coalesce_key, prev_coalesce)
+        n_batches = got.batch_id.nunique()
+        assert n_batches >= 2
+
+        # snapshot committed per micro-batch, current epoch, wildcard n_parts
+        assert "stream_triples" in lineage.snapshot_tables(out)
+        snap = lineage.current_snapshot(out, table="stream_triples")
+        assert snap["checksum_ver"] == lineage.CHECKSUM_VER
+        assert snap["n_parts"] is None
+        assert len(snap["manifest"]) == n_batches
+
+        # read through the snapshot pointer == raw parquet read
+        via_snap = lineage.read_table(spark, out, "stream_triples").toPandas()
+        key = ["subj", "pred", "obj", "url", "sent_idx", "batch_id"]
+        assert sorted(map(tuple, via_snap[key].itertuples(index=False))) == \
+            sorted(map(tuple, got[key].itertuples(index=False)))
+
+        # time travel: the first committed snapshot covers only batch 0
+        first = lineage.read_table(spark, out, "stream_triples",
+                                   snapshot_id=0).toPandas()
+        assert first.batch_id.nunique() == 1
+        assert len(first) < len(got)
+
+        # compaction: fewer files, identical content and checksums
+        pre = {p["part_id"]: p["checksum"] for p in snap["manifest"]}
+        stats = lineage.compact_table(spark, out, table="stream_triples")
+        assert stats, "nothing compacted — corpus should leave >1 file/batch"
+        for pid, (before, after) in stats.items():
+            assert after < before
+        post = lineage.read_table(spark, out, "stream_triples").toPandas()
+        assert sorted(map(tuple, post[key].itertuples(index=False))) == \
+            sorted(map(tuple, got[key].itertuples(index=False)))
+        for pid, cks in pre.items():
+            part = os.path.join(out, f"batch_id={pid}")
+            _n, cks2 = lineage.table_checksum(spark.read.parquet(part))
+            assert cks2 == cks
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_stream_triples_replay_snapshot_converges(spark):
+    """A checkpoint-wiped replay replaces each batch's snapshot entry —
+    metadata converges with the data (no duplicate parts, empty batches
+    skipped by readers)."""
+    from char_ner_spark import lineage
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+
+    alias = make_alias_table(60, seed=42)
+    pdf = make_pages(30, seed=42, alias_df=alias)
+    d = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "pages")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+        out = os.path.join(d, "triples_out")
+        ck1, ck2 = os.path.join(d, "ck1"), os.path.join(d, "ck2")
+        first = ST.stream_triples(spark, src, alias, out, ck1).toPandas()
+        second = ST.stream_triples(spark, src, alias, out, ck2).toPandas()
+        key = ["subj", "pred", "obj", "url", "sent_idx", "batch_id"]
+        assert sorted(map(tuple, first[key].itertuples(index=False))) == \
+            sorted(map(tuple, second[key].itertuples(index=False)))
+        snap = lineage.current_snapshot(out, table="stream_triples")
+        pids = [p["part_id"] for p in snap["manifest"]]
+        assert pids == sorted(set(pids))  # replaced, not duplicated
+        via_snap = lineage.read_table(spark, out, "stream_triples").toPandas()
+        assert len(via_snap) == len(second)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
