@@ -176,9 +176,10 @@ Methodology notes (full honesty): the efficiency pairs the best run of each
 scale; both best legs come from the same (healthy-host) measurement session,
 so the ratio is internally consistent — degraded-host sessions appear in the
 all-runs list (up to ~2.5× slower on identical code+data). Accumulated runs
-span minor pipeline revisions (triple counts 1,233,242–1,235,873 on this
-corpus across round-2 linking fixes and round-3 tokenized middles /
-perfect-code MinHash); per-page work is unchanged, so throughput samples
+span minor pipeline revisions (triple counts 1,233,242–1,241,798 on this
+corpus across round-2 linking fixes, round-3 tokenized middles /
+perfect-code MinHash, and round-4 bounded-gap templates, which plant gap
+sentences in the fixture corpus); per-page work is unchanged, so samples
 remain comparable, and the freshest same-session pair above is single-code.
 
 ## Reference comparison

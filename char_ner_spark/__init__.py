@@ -75,8 +75,11 @@ _EXPORTS = {
     "extract_text": "textops",
     "normalize_surface": "textops",
     "minhash_bands_batch": "textops",
+    "batch_jaccard_pairs": "textops",
     "AliasIndex": "linking",
     "normalize_gap": "relations",
+    "match_middles": "relations",
+    "auto_lsh_params": "similarity",
     # multimodal plumbing
     "extract_media_features": "multimodal",
     "sample_video_frames": "multimodal",

@@ -150,6 +150,25 @@ def main() -> int:
         ],
     ))
 
+    # 8. ngram_jaccard prefix-filter candidates (round-4): the self-join
+    # runs on dictionary-encoded BIGINT sids with a fused partial agg —
+    # no string shingle keys, no separate distinct+recount pass
+    from char_ner_spark.driver_queries import _nj_candidates_sql, _nj_stage_dd
+
+    v = _nj_stage_dd(spark, "documents")
+    p9 = fmt(spark.sql(_nj_candidates_sql(v, 2000)))
+    spark.catalog.dropTempView(f"{v}_dd")
+    sections.append((
+        "ngram_jaccard candidates (prefix-filtered self-join)", p9,
+        [
+            ("self-join keyed on encoded sid, not shingle strings",
+             "sid" in p9 and "shingle" not in p9),
+            ("fused partial aggregation off the join",
+             "partial_" in p9.lower() or "HashAggregate" in p9),
+            ("no Python eval", "Python" not in p9 and "ArrowEval" not in p9),
+        ],
+    ))
+
     out = ["# Physical plan audit (generated by tools/plan_audit.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
