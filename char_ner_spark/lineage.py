@@ -432,23 +432,38 @@ def compact_table(spark: SparkSession, out_dir: str, table: str = "triples",
     At K ~ 10k work units each leaving shuffle_partitions-many small
     parquet files, scan planning and file-open overhead dominate reads —
     the standard lakehouse fix is an idempotent rewrite. Protocol per
-    part: write the coalesced copy to a sibling ``<part>.compact.tmp``
-    dir, verify its checksum equals the live part's, then swap. A crash
-    between the swap's remove and rename leaves the tmp dir with the
-    verified content; the next call heals it before compacting further.
-    Checksums (and therefore the manifest and every snapshot) are
-    invariant — compaction changes file layout, never content. Returns
-    {part_id: (files_before, files_after)} for the parts rewritten."""
+    part: write the coalesced copy to ``_compact_tmp/<part>/`` (an
+    underscore-prefixed sibling, so readers and ``<prefix>=*`` globs never
+    see half-written or crash-orphaned copies — a bare ``<part>.compact.
+    tmp`` at a root-layout table's data root would match the partition
+    glob and double-read), verify its checksum equals the live part's,
+    then swap. A crash between the swap's remove and rename leaves the
+    tmp dir with the verified content; the next call heals it before
+    compacting further. Checksums (and therefore the manifest and every
+    snapshot) are invariant — compaction changes file layout, never
+    content. Returns {part_id: (files_before, files_after)} for the parts
+    rewritten. A part the snapshot records as NON-empty but whose
+    directory is missing raises — silently skipping it would report a
+    healthy compaction over lost data."""
     import shutil
 
     snap = current_snapshot(out_dir, table=table)
     parts = snap["completed"] if snap else []
+    rows_by_part = {
+        p["part_id"]: p.get("rows", 1) for p in (snap or {}).get("manifest", [])
+    }
     base, prefix = _table_base(out_dir, table)
     stats: dict[int, tuple[int, int]] = {}
     for pid in parts:
         part = os.path.join(base, f"{prefix}={pid}")
-        tmp = part + ".compact.tmp"
+        tmp = os.path.join(base, "_compact_tmp", f"{prefix}={pid}")
         if not os.path.isdir(part) and not os.path.isdir(tmp):
+            if rows_by_part.get(pid, 1) > 0:
+                raise FileNotFoundError(
+                    f"{table} part {pid}: snapshot records "
+                    f"{rows_by_part.get(pid)} rows but {part} is missing — "
+                    "data loss, refusing to report a clean compaction"
+                )
             continue  # zero-row part (e.g. an empty replayed micro-batch)
         if not os.path.isdir(part) and os.path.isdir(tmp):
             os.rename(tmp, part)  # heal the crash window (content verified
@@ -512,6 +527,16 @@ def read_table(spark: SparkSession, out_dir: str, table: str,
             parts = snap["completed"]
         paths = [os.path.join(base, f"{prefix}={p}") for p in parts]
         if not paths:
+            # nothing readable on disk (e.g. every micro-batch replayed to
+            # empty) — the snapshot's recorded schema builds the typed
+            # empty frame; a parquet read of the bare base dir would fail
+            # schema inference for root-layout tables
+            if snap.get("schema_json"):
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(snap["schema_json"]))
+                )
             return spark.read.option("basePath", base).parquet(base).limit(0)
         return spark.read.option("basePath", base).parquet(*paths)
     return spark.read.option("basePath", base).parquet(

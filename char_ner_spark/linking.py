@@ -67,6 +67,10 @@ class AliasIndex:
             (int(e), float(p))
             for e, p in zip(self.rows["entity_id"], self.rows["prior"])
         ]
+        # plain-list view of alias_norm: _fuzzy_batch indexes it once per
+        # candidate pair, and a pandas .iloc scalar lookup there would cost
+        # more than the batched Jaccard it feeds
+        self.row_norms: list[str] = list(self.rows["alias_norm"])
 
     def _fuzzy(self, norm: str, bands) -> tuple[float, int] | None:
         """Fuzzy winner for one normalized surface given its band hashes.
@@ -98,7 +102,7 @@ class AliasIndex:
             return out
         jaccs = batch_jaccard_pairs(
             [norms[i] for i in pair_i],
-            [self.rows["alias_norm"].iloc[rid] for rid in pair_rid],
+            [self.row_norms[rid] for rid in pair_rid],
             already_norm=True,
         )
         cands: dict[int, list[tuple[float, int]]] = {}

@@ -131,12 +131,19 @@ def auto_lsh_params(n: int) -> tuple[int, int]:
 
     bits = min(16, max(6, math.ceil(math.log2(max(n, 1) / _LSH_TARGET_OCCUPANCY))
                        if n > _LSH_TARGET_OCCUPANCY else 6))
-    tables = 1 if bits <= 6 else (4 if bits <= 12 else 8)
-    return bits, tables
+    return bits, tables_for_bits(bits)
 
 
 #: target expected vectors per LSH bucket per table (auto_lsh_params)
 _LSH_TARGET_OCCUPANCY = 64
+
+
+def tables_for_bits(bits: int) -> int:
+    """Recall-restoring table count for a per-table code width: wider codes
+    shrink per-bucket collision probability geometrically (p^bits), so the
+    table tier must follow the EFFECTIVE bits — including a caller-pinned
+    ``bits`` with ``tables`` left to default."""
+    return 1 if bits <= 6 else (4 if bits <= 12 else 8)
 
 
 def lsh_topk(
@@ -159,10 +166,12 @@ def lsh_topk(
     single-table recall profile; pass them explicitly to pin either.
     ``dim`` defaults to the data's own embedding width (one 1-row
     probe)."""
-    if bits is None or tables is None:
-        abits, atables = auto_lsh_params(vectors.count())
-        bits = abits if bits is None else bits
-        tables = atables if tables is None else tables
+    if bits is None:
+        bits, _ = auto_lsh_params(vectors.count())
+    if tables is None:
+        # derive from the EFFECTIVE bits: a pinned bits=16 with default
+        # tables must get the 8-table recall tier, not the corpus-size one
+        tables = tables_for_bits(bits)
     if dim is None:
         row = vectors.selectExpr("size(embedding) d").first()
         if row is None:

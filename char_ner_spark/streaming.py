@@ -182,7 +182,10 @@ def stream_triples(
     shows the retry while the resolved state converges with the data.
 
     Snapshots (round-4): every committed micro-batch also commits a
-    ``stream_triples`` snapshot line (metadata/stream_triples/), the same
+    ``stream_triples`` snapshot line (``_snapshots/stream_triples/`` —
+    underscore-prefixed because the data lives at the out_dir root and a
+    bare ``metadata/`` sibling would break Spark's partition discovery
+    over ``batch_id=*``), the same
     machinery the batch sinks use — so a streamed output is readable via
     ``lineage.read_table(out_dir, "stream_triples")`` with time-travel,
     ``compact_table`` can rewrite its small files checksum-verified, and
@@ -241,7 +244,12 @@ def stream_triples(
         })
         write_snapshot(
             spark, out_dir, n_parts=None, table="stream_triples",
-            schema_json=triples.schema.json(),
+            # schema as READ (data cols + the batch_id partition col, long
+            # per this module's typed-empty convention) so an all-empty
+            # stream's read_table frame matches a non-empty one's shape
+            schema_json=triples.withColumn(
+                "batch_id", F.lit(int(batch_id)).cast("long")
+            ).schema.json(),
             add_part={"part_id": int(batch_id), "rows": n_out,
                       "checksum": checksum},
             retain=retain,

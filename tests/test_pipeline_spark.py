@@ -555,10 +555,14 @@ def test_compact_table_preserves_content_and_heals(spark, corpus):
         assert after_rows == before_rows
         assert lineage.compact_table(spark, d) == {}  # idempotent no-op
         # crash window: swap interrupted after remove — verified tmp only
+        # (tmp lives under _compact_tmp/ since round 4: an underscore dir
+        # keeps crash orphans out of partition globs)
         part0 = os.path.join(d, "triples", "part_id=0")
-        os.rename(part0, part0 + ".compact.tmp")
+        tmp0 = os.path.join(d, "triples", "_compact_tmp", "part_id=0")
+        os.makedirs(os.path.dirname(tmp0), exist_ok=True)
+        os.rename(part0, tmp0)
         lineage.compact_table(spark, d)
-        assert os.path.isdir(part0) and not os.path.isdir(part0 + ".compact.tmp")
+        assert os.path.isdir(part0) and not os.path.isdir(tmp0)
         assert lineage.read_triples(spark, d).count() == len(before_rows)
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -654,5 +658,25 @@ def test_resume_pre_round3_checksum_epoch_fails_loud(spark, corpus):
         json.dump(s, open(path, "w"))
         with pytest.raises(ValueError, match="checksum recipe"):
             lineage.run_partitioned(spark, pages, alias, d, n_parts=2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_raises_on_missing_nonempty_part(spark, corpus):
+    """A part the snapshot records as non-empty but whose directory is gone
+    is data loss — compact_table must raise, not report a clean pass
+    (round-4 review fix)."""
+    from char_ner_spark import lineage
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    d = tempfile.mkdtemp()
+    try:
+        lineage.run_partitioned(spark, pages, alias, d, n_parts=2)
+        snap = lineage.current_snapshot(d)
+        victim = next(p["part_id"] for p in snap["manifest"] if p["rows"] > 0)
+        shutil.rmtree(os.path.join(d, "triples", f"part_id={victim}"))
+        with pytest.raises(FileNotFoundError, match="data loss"):
+            lineage.compact_table(spark, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)

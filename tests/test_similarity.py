@@ -533,3 +533,25 @@ def test_lsh_topk_banded_shrinks_hot_bucket(spark):
     assert {(r.query_id, r.vec_id) for r in lsh[lsh.rk == 1].itertuples()} == {
         (q, q) for q in range(5)
     }
+
+
+def test_lsh_topk_pinned_bits_gets_matching_table_tier(emb, queries):
+    """bits pinned + tables defaulted must derive the table tier from the
+    EFFECTIVE bits (round-4 review fix): a 16-bit code on a small corpus
+    gets 8 tables, restoring recall the corpus-size default would gut."""
+    from char_ner_spark.similarity import tables_for_bits
+
+    assert tables_for_bits(6) == 1
+    assert tables_for_bits(12) == 4
+    assert tables_for_bits(16) == 8
+    # behavioral: pinned 16-bit top-k keeps perfect self-recall on the
+    # small corpus (all 8 tables probe the self bucket) and stays
+    # subset-of-exact
+    exact = SIM.cosine_topk(emb, queries, k=500).toPandas()
+    emap = {(r.query_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    lsh = SIM.lsh_topk(emb, queries, k=5, bits=16).toPandas()
+    for r in lsh.itertuples():
+        assert abs(emap[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+    assert {(r.query_id, r.vec_id) for r in lsh[lsh.rk == 1].itertuples()} == {
+        (q, q) for q in range(5)
+    }

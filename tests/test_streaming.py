@@ -448,3 +448,34 @@ def test_stream_triples_replay_snapshot_converges(spark):
         assert len(via_snap) == len(second)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_all_empty_replay_read_table_typed_empty(spark):
+    """Every micro-batch replaying to empty leaves no data dirs; read_table
+    must return the typed empty frame from the snapshot's recorded schema
+    instead of failing parquet schema inference (round-4 review fix)."""
+    import json as _json
+
+    from char_ner_spark import lineage
+
+    d = tempfile.mkdtemp()
+    try:
+        out = os.path.join(d, "triples_out")
+        os.makedirs(out)
+        # hand-commit a snapshot whose only part is rows=0 (the state an
+        # empty replay leaves behind: manifest entry, no batch_id dir)
+        schema = ("{\"type\":\"struct\",\"fields\":["
+                  "{\"name\":\"subj\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},"
+                  "{\"name\":\"batch_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}")
+        lineage.write_snapshot(
+            spark, out, n_parts=None, table="stream_triples",
+            schema_json=schema,
+            add_part={"part_id": 0, "rows": 0, "checksum": "0" * 16},
+        )
+        df = lineage.read_table(spark, out, "stream_triples")
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["subj", "batch_id"]
+        # and compaction over the all-empty table is a clean no-op
+        assert lineage.compact_table(spark, out, table="stream_triples") == {}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
