@@ -555,3 +555,45 @@ def test_lsh_topk_pinned_bits_gets_matching_table_tier(emb, queries):
     assert {(r.query_id, r.vec_id) for r in lsh[lsh.rk == 1].itertuples()} == {
         (q, q) for q in range(5)
     }
+
+
+def test_ngram_jaccard_threshold_extremes(spark):
+    """Prefix-length math at the edges: t=1.0 keeps only each doc's single
+    globally-rarest shingle (identical sets still pair via their common
+    minimum — exact dups found); a low t widens prefixes and must match
+    brute force too."""
+    import itertools
+
+    import pandas as pd
+
+    from char_ner_spark.driver_queries import ngram_jaccard_pairs
+
+    docs = [
+        (0, "a b c d e f"),
+        (1, "a b c d e f"),      # exact dup of 0
+        (2, "a b c d e g"),      # near dup
+        (3, "p q r s t u"),
+        (4, "p q r s t u"),      # exact dup of 3
+        (5, "x y z w v k"),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    sdf.createOrReplaceTempView("nj_edge_docs")
+
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    for te4 in (10000, 1000):
+        expect = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 10000.0 / union >= te4:
+                expect[(a, b)] = round(inter * 10000.0 / union)
+        got_df = ngram_jaccard_pairs(spark, "nj_edge_docs",
+                                     threshold_e4=te4).toPandas()
+        got = {(r.doc_a, r.doc_b): r.jaccard_e4 for r in got_df.itertuples()}
+        assert got == expect, (te4, got, expect)
+        if te4 == 10000:  # t=1.0 finds exactly the two exact-dup pairs
+            assert set(got) == {(0, 1), (3, 4)}, got

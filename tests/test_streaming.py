@@ -479,3 +479,32 @@ def test_stream_all_empty_replay_read_table_typed_empty(spark):
         assert lineage.compact_table(spark, out, table="stream_triples") == {}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_snapshot_retention_bounds_history(spark):
+    """retain=1 expires older stream snapshots per commit while the current
+    pointer stays resolvable — the O(K²) metadata bound applies to the
+    streaming sink too."""
+    from char_ner_spark import lineage
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+
+    alias = make_alias_table(60, seed=42)
+    pdf = make_pages(30, seed=42, alias_df=alias)
+    d = tempfile.mkdtemp()
+    try:
+        src = os.path.join(d, "pages")
+        out = os.path.join(d, "triples_out")
+        spark.createDataFrame(pdf.iloc[:15]).coalesce(1).write.mode("overwrite").parquet(src)
+        ST.stream_triples(spark, src, alias, out, os.path.join(d, "ck"),
+                          retain=1)
+        spark.createDataFrame(pdf.iloc[15:]).coalesce(1).write.mode("append").parquet(src)
+        ST.stream_triples(spark, src, alias, out, os.path.join(d, "ck"),
+                          retain=1)
+        meta = os.path.join(out, "_snapshots", "stream_triples")
+        snaps = [f for f in os.listdir(meta) if f.startswith("snapshot-")]
+        assert len(snaps) == 1, snaps  # expired down to the current one
+        cur = lineage.current_snapshot(out, table="stream_triples")
+        assert cur is not None and len(cur["manifest"]) == 2
+        assert lineage.read_table(spark, out, "stream_triples").count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
