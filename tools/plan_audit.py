@@ -100,6 +100,30 @@ def main() -> int:
         ],
     ))
 
+    # 5b. extract_triples (round-4 bounded-gap keys): template matching must
+    # stay a broadcast equi-join with the gap-key expansion fully JVM-side.
+    # The pair input is checkpointed so the audited plan shows THIS stage
+    # only (the upstream tagger's Arrow stages are audited in §3/§5).
+    from char_ner_spark.pipeline import extract_triples, middles_table
+
+    p5b = fmt(extract_triples(lk.localCheckpoint(), ds["canon"],
+                              middles_table(spark)))
+    sections.append((
+        "extract_triples (bounded-gap template join)", p5b,
+        [
+            ("template + canon joins broadcast",
+             p5b.count("BroadcastHashJoin") >= 3),
+            # "Python" alone would false-positive on applySchemaToPythonRDD
+            # (the driver-local template-table materialization) — only the
+            # eval operators mean per-row Python at runtime
+            ("gap-key expansion is JVM generate (no Python eval)",
+             "Generate" in p5b and "ArrowEvalPython" not in p5b
+             and "BatchEvalPython" not in p5b),
+            ("no sort-merge join of the pair stream",
+             "SortMergeJoin" not in p5b),
+        ],
+    ))
+
     # 6. cross-engine SQL dedup: JVM-only (no Python eval), map-side partial
     # aggregation for both the 16-way MIN signature agg and the 60-bit vote.
     # Codegen annotation is captured with AQE off: an AdaptiveSparkPlan's
