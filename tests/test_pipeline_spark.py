@@ -680,3 +680,32 @@ def test_compact_raises_on_missing_nonempty_part(spark, corpus):
             lineage.compact_table(spark, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pipeline_output_invariant_across_parallelism(spark, corpus, gold):
+    """The north rule's implicit determinism contract: the SAME corpus must
+    yield the IDENTICAL triple set (values, confidences, counts) whatever
+    the parallelism knobs — salt (pre-tagger repartition width, hence
+    Arrow batch composition) and shuffle partitions. Per-row fp32 ops with
+    no cross-row reductions are what make this hold; this pins it."""
+    from char_ner_spark.pipeline import run_pipeline
+
+    alias, pages_pdf = corpus
+    pages = spark.createDataFrame(pages_pdf)
+    key = ["subj", "pred", "obj", "url", "sent_idx", "conf"]
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for salt, parts in ((2, "3"), (32, "17")):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            t = run_pipeline(spark, pages, alias, salt=salt)["triples"].toPandas()
+            outs.append(sorted(map(tuple, t[key].itertuples(index=False))))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert outs[0] == outs[1]
+    # and both equal the single-process oracle bit-for-bit on conf too
+    want = sorted(
+        map(tuple, gold["triples"][key].itertuples(index=False))
+    )
+    assert outs[0] == want
