@@ -19,6 +19,13 @@ import pandas as pd
 
 from .relations import GAP_MIDDLES, LANGS, MIDDLES, _parse_template
 
+#: spec-sorted parsed gap templates per lang, hoisted out of the page loop
+#: (the rng call sequence — and so the seeded corpus — is unchanged)
+_GAP_PARSED = {
+    lang: [_parse_template(s) for s in sorted(GAP_MIDDLES.get(lang, {}))]
+    for lang in LANGS
+}
+
 _SYL = ["ka", "lo", "mi", "ran", "vel", "tor", "ben", "sa", "du", "pex",
         "nor", "li", "gar", "zu", "fen", "hol", "qui", "bra", "ste", "mon"]
 _ORG_SUFFIX = ["Corp", "Group", "Labs", "Systems", "Holdings"]
@@ -101,7 +108,7 @@ def make_pages(
         lang = LANGS[rng.randint(len(LANGS))]
         pool = by_lang[lang]
         middles = sorted(MIDDLES[lang])
-        gap_specs = sorted(GAP_MIDDLES.get(lang, {}))
+        gap_specs = _GAP_PARSED[lang]
         n_sents = sents_lo + rng.randint(sents_hi - sents_lo + 1)
         sents = []
         for _ in range(n_sents):
@@ -119,8 +126,7 @@ def make_pages(
                     # 1..gmax filler tokens (fires) or gmax+1 (over bound,
                     # must NOT fire) — the golden corpus exercises both
                     # sides of the bound so oracle/Spark drift would show
-                    spec = gap_specs[rng.randint(len(gap_specs))]
-                    pre, gmax, post = _parse_template(spec)
+                    pre, gmax, post = gap_specs[rng.randint(len(gap_specs))]
                     k = 1 + rng.randint(gmax + 1)  # 1..gmax+1
                     filler = _FILLER[lang]
                     fills = tuple(

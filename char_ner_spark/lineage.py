@@ -287,8 +287,14 @@ def _snapshot_dir(out_dir: str, table: str = "triples") -> str:
     ``_snapshots/<table>/``, because Spark's partition discovery over
     ``batch_id=*`` treats any non-underscore sibling directory as a
     conflicting partition root."""
-    if _TABLE_LAYOUT.get(table, (table,))[0] == "":
-        return os.path.join(out_dir, "_snapshots", table)
+    under = os.path.join(out_dir, "_snapshots", table)
+    # route by layout — or by an existing _snapshots pointer, so every
+    # table snapshot_tables() can discover also RESOLVES through here
+    # (generic discovery + name-hardcoded routing would silently skip the
+    # resume guards for any future root-layout table)
+    if _TABLE_LAYOUT.get(table, (table,))[0] == "" \
+            or os.path.exists(os.path.join(under, "current")):
+        return under
     meta = os.path.join(out_dir, "metadata")
     return meta if table == "triples" else os.path.join(meta, table)
 
@@ -457,6 +463,15 @@ def compact_table(spark: SparkSession, out_dir: str, table: str = "triples",
     for pid in parts:
         part = os.path.join(base, f"{prefix}={pid}")
         tmp = os.path.join(base, "_compact_tmp", f"{prefix}={pid}")
+        # migrate pre-round-4 crash orphans at the legacy sibling location
+        # ('<part>.compact.tmp'): heal a missing part from a verified copy,
+        # remove a stale pre-verify orphan (it matches '<prefix>=*' globs)
+        legacy = part + ".compact.tmp"
+        if os.path.isdir(legacy):
+            if not os.path.isdir(part) and not os.path.isdir(tmp):
+                os.rename(legacy, part)
+            else:
+                shutil.rmtree(legacy)
         if not os.path.isdir(part) and not os.path.isdir(tmp):
             if rows_by_part.get(pid, 1) > 0:
                 raise FileNotFoundError(

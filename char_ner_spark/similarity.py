@@ -166,30 +166,37 @@ def lsh_topk(
     single-table recall profile; pass them explicitly to pin either.
     ``dim`` defaults to the data's own embedding width (one 1-row
     probe)."""
-    if bits is None:
-        bits, _ = auto_lsh_params(vectors.count())
+    if bits is None or dim is None:
+        # ONE aggregate job supplies both corpus size and width (two
+        # separate probe jobs doubled the scan on the default path)
+        row = vectors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size("embedding")).alias("d"),
+        ).first()
+        n, d = int(row["n"]), row["d"]
+        if bits is None:
+            bits, _ = auto_lsh_params(n)
+        if dim is None:
+            if n == 0:
+                # empty vector table: the top-k of nothing is empty — a
+                # typed empty frame instead of a TypeError from the probe
+                # (ADVICE r3)
+                return (
+                    queries.limit(0).select("query_id")
+                    .crossJoin(vectors.limit(0).select("vec_id"))
+                    .withColumn("cosine", F.lit(None).cast("double"))
+                    .withColumn("rk", F.lit(None).cast("int"))
+                )
+            dim = d
+            if dim is None or dim <= 0:
+                raise ValueError(
+                    "vectors.embedding must be non-empty arrays (size probe "
+                    f"returned {dim}); pass dim= explicitly to override"
+                )
     if tables is None:
         # derive from the EFFECTIVE bits: a pinned bits=16 with default
         # tables must get the 8-table recall tier, not the corpus-size one
         tables = tables_for_bits(bits)
-    if dim is None:
-        row = vectors.selectExpr("size(embedding) d").first()
-        if row is None:
-            # empty vector table: the top-k of nothing is empty — return a
-            # typed empty frame instead of letting the dim probe raise
-            # TypeError on the missing row (ADVICE r3)
-            return (
-                queries.limit(0).select("query_id")
-                .crossJoin(vectors.limit(0).select("vec_id"))
-                .withColumn("cosine", F.lit(None).cast("double"))
-                .withColumn("rk", F.lit(None).cast("int"))
-            )
-        dim = row["d"]
-        if dim is None or dim <= 0:
-            raise ValueError(
-                "vectors.embedding must be non-empty arrays (size probe "
-                f"returned {dim}); pass dim= explicitly to override"
-            )
     planes = hyperplanes(dim, bits, tables=tables)
     v = with_banded_buckets(vectors.select("vec_id", "embedding"), planes, tables)
     q = with_banded_buckets(

@@ -244,11 +244,12 @@ def stream_triples(
         })
         write_snapshot(
             spark, out_dir, n_parts=None, table="stream_triples",
-            # schema as READ (data cols + the batch_id partition col, long
-            # per this module's typed-empty convention) so an all-empty
-            # stream's read_table frame matches a non-empty one's shape
+            # schema as READ: data cols + the batch_id partition column as
+            # INT — Spark's partition-value inference types batch_id=N dirs
+            # as int, so recording long here would make an all-empty
+            # read_table frame type-flip against a non-empty one
             schema_json=triples.withColumn(
-                "batch_id", F.lit(int(batch_id)).cast("long")
+                "batch_id", F.lit(int(batch_id)).cast("int")
             ).schema.json(),
             add_part={"part_id": int(batch_id), "rows": n_out,
                       "checksum": checksum},
@@ -277,7 +278,10 @@ def stream_triples(
                       recursive=True):
         return spark.createDataFrame(
             [],
+            # batch_id int: matches Spark's partition-value inference over
+            # batch_id=N dirs (and the snapshot schema_json), so the empty
+            # and non-empty shapes agree
             "subj long, pred string, obj long, url string, sent_idx int, "
-            "conf double, batch_id long",
+            "conf double, batch_id int",
         )
     return spark.read.parquet(out_dir)
