@@ -71,6 +71,7 @@ _EXPORTS = {
     "minhash_bands_sql": "dedup",
     "simhash_near_dup_sql": "dedup",
     "near_dup_groups": "dedup",
+    "write_shingle_index": "dedup",
     # text ops / linking primitives
     "extract_text": "textops",
     "normalize_surface": "textops",

@@ -60,6 +60,49 @@ def shingles_cte(table: str, dialect: str) -> str:
           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table})"""
 
 
+def shingle_set_sql(table: str) -> str:
+    """The df-annotated per-doc shingle set (doc_id, sid, c, rn, n), Spark
+    dialect — the staging relation under exact n-gram Jaccard dedup
+    (driver_queries.ngram_jaccard_pairs) and :func:`write_shingle_index`.
+    ``sid`` dictionary-encodes the shingle string to a BIGINT by equality
+    join (collision-free); ``c`` is global document frequency; ``rn``/``n``
+    are the per-doc rank in the global (c, sid) order and the set size —
+    everything the PPJoin prefix filter needs, computed once."""
+    return f"""
+        WITH sh AS ({shingles_cte(table, SPARK)}),
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        f AS (SELECT shingle, COUNT(*) AS c,
+                     monotonically_increasing_id() AS sid
+              FROM d GROUP BY shingle)
+        SELECT d.doc_id, f.sid, f.c,
+               ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                                  ORDER BY f.c, f.sid) AS rn,
+               COUNT(*) OVER (PARTITION BY d.doc_id) AS n
+        FROM d JOIN f ON d.shingle = f.shingle"""
+
+
+def write_shingle_index(spark, docs_table: str = "documents",
+                        table_name: str = "shingle_index",
+                        buckets: int = 32,
+                        path: str | None = None) -> None:
+    """Materialize :func:`shingle_set_sql` as a parquet table BUCKETED and
+    sorted by ``sid`` — the co-located-join leg of the scale design (the
+    on-disk twin of ngram_jaccard_pairs' per-call localCheckpoint staging,
+    the way write_ivf_index is ivf_topk's). Both sides of the candidate
+    self-join then read pre-bucketed, pre-sorted files: at 10^12 docs the
+    sid equi-join runs with NO shuffle of the shingle set (the only
+    remaining exchange is the pair aggregation), which is the difference
+    between re-shuffling the corpus per dedup run and reading it in place.
+    Pass the index name as ``dd_table`` to ngram_jaccard_pairs /
+    ngram_jaccard_candidates. ``path`` makes it an external table there."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    w = spark.sql(shingle_set_sql(docs_table)).write
+    if path is not None:
+        w = w.option("path", path)
+    (w.bucketBy(buckets, "sid").sortBy("sid")
+      .mode("overwrite").saveAsTable(table_name))
+
+
 def simhash_sql(dialect: str, table: str = "documents", bits: int = 60) -> str:
     """SimHash fingerprint per document over whitespace tokens.
 

@@ -299,24 +299,15 @@ def _nj_stage_dd(spark: SparkSession, docs_table: str) -> str:
     # or repeated invocations (different docs_table args, overlapped driver
     # threads) clobber each other's intermediates mid-plan; views are
     # dropped after the final plan resolves (Spark analyzes eagerly)
+    from .dedup import shingle_set_sql
+
     v = f"nj{next(_NJ_CALL_SEQ)}"
-    dd = spark.sql(
-        f"""WITH sh AS ({shingles_cte(docs_table, SPARK)}),
-        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        f AS (SELECT shingle, COUNT(*) AS c,
-                     monotonically_increasing_id() AS sid
-              FROM d GROUP BY shingle)
-        SELECT d.doc_id, f.sid, f.c,
-               ROW_NUMBER() OVER (PARTITION BY d.doc_id
-                                  ORDER BY f.c, f.sid) AS rn,
-               COUNT(*) OVER (PARTITION BY d.doc_id) AS n
-        FROM d JOIN f ON d.shingle = f.shingle"""
-    ).localCheckpoint()
+    dd = spark.sql(shingle_set_sql(docs_table)).localCheckpoint()
     dd.createOrReplaceTempView(f"{v}_dd")
     return v
 
 
-def _nj_candidates_sql(v: str, threshold_e4: int) -> str:
+def _nj_candidates_sql(dd: str, threshold_e4: int) -> str:
     """Prefix-filtered candidate pairs (PPJoin-style, EXACT — no recall
     caveat). Shingles get a global total order (df ASC, shingle ASC: rarest
     first); each doc only exposes its first n - ⌈t·n⌉ + 1 shingles in that
@@ -345,7 +336,7 @@ def _nj_candidates_sql(v: str, threshold_e4: int) -> str:
     ceil_b = f"((b.n * {threshold_e4} + 9999) DIV 10000)"
     return f"""
         WITH pref AS (
-          SELECT doc_id, sid, n FROM {v}_dd
+          SELECT doc_id, sid, n FROM {dd}
           WHERE rn <= n - ((n * {threshold_e4} + 9999) DIV 10000) + 1),
         common_pref AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -365,19 +356,23 @@ def _nj_candidates_sql(v: str, threshold_e4: int) -> str:
 
 def ngram_jaccard_candidates(spark: SparkSession,
                              docs_table: str = "documents",
-                             threshold_e4: int = 2000) -> DataFrame:
+                             threshold_e4: int = 2000,
+                             dd_table: str | None = None) -> DataFrame:
     """The candidate stage of :func:`ngram_jaccard_pairs`, exposed so its
     volume is testable: on a degenerate corpus (hundreds of docs sharing one
     hot shingle) this must stay ≪ f² — the hot shingle sorts last in the
     global df order and never enters a prefix."""
+    if dd_table is not None:
+        return spark.sql(_nj_candidates_sql(dd_table, threshold_e4))
     v = _nj_stage_dd(spark, docs_table)
-    out = spark.sql(_nj_candidates_sql(v, threshold_e4))
+    out = spark.sql(_nj_candidates_sql(f"{v}_dd", threshold_e4))
     spark.catalog.dropTempView(f"{v}_dd")
     return out
 
 
 def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
-                        threshold_e4: int = 2000) -> DataFrame:
+                        threshold_e4: int = 2000,
+                        dd_table: str | None = None) -> DataFrame:
     """Word-trigram Jaccard pairs (≥ ``threshold_e4``/1e4), exact output.
 
     Two stages, both sub-quadratic (the round-3 verdict's last remaining
@@ -392,8 +387,12 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
     |candidates| × doc size. The old df_cap/hot-correction machinery is
     gone: the prefix filter is unconditionally exact, with no "must share a
     sub-cap shingle" caveat."""
-    v = _nj_stage_dd(spark, docs_table)
-    cand = spark.sql(_nj_candidates_sql(v, threshold_e4)).localCheckpoint()
+    if dd_table is not None:
+        dd_rel, v = dd_table, f"nj{next(_NJ_CALL_SEQ)}"
+    else:
+        v = _nj_stage_dd(spark, docs_table)
+        dd_rel = f"{v}_dd"
+    cand = spark.sql(_nj_candidates_sql(dd_rel, threshold_e4)).localCheckpoint()
     cand.createOrReplaceTempView(f"{v}_cand")
     # verify via per-doc sid ARRAYS, not a join expansion: folding each
     # candidate doc's shingle set into one array<bigint> row keeps the
@@ -408,7 +407,7 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
           SELECT doc_a AS doc_id FROM {v}_cand
           UNION SELECT doc_b FROM {v}_cand)
         SELECT /*+ BROADCAST(cd) */ d.doc_id, collect_list(d.sid) AS sids
-        FROM {v}_dd d JOIN cd ON d.doc_id = cd.doc_id
+        FROM {dd_rel} d JOIN cd ON d.doc_id = cd.doc_id
         GROUP BY d.doc_id"""
     ).localCheckpoint()  # referenced by BOTH sides of the pair join below
     arr.createOrReplaceTempView(f"{v}_arr")
@@ -425,8 +424,10 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
         WHERE cnt * 10000.0 / (na + nb - cnt) >= {threshold_e4}"""
     )
     # plans are analyzed eagerly, so the resolved DataFrames no longer need
-    # the views — drop them to leave the catalog clean
-    for suffix in ("_dd", "_cand", "_arr"):
+    # the views — drop them to leave the catalog clean (the caller-supplied
+    # dd_table, if any, is theirs to keep)
+    for suffix in (("_cand", "_arr") if dd_table is not None
+                   else ("_dd", "_cand", "_arr")):
         spark.catalog.dropTempView(f"{v}{suffix}")
     return out
 

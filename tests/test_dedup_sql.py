@@ -166,3 +166,64 @@ def test_simhash_near_dup_pairs_cross_engine(sdocs, duck):
     )
     for (x, y), h in got.items():
         assert bin(int(fps[x]) ^ int(fps[y])).count("1") == h
+
+
+def test_bucketed_shingle_index_colocated_join(spark, tmp_path):
+    """write_shingle_index materializes the df-annotated shingle set
+    bucketed+sorted by sid; the candidate self-join over it is co-located —
+    identical results to the per-call staging, with the join sides read
+    from buckets (no exchange under the join; the only shuffle left is the
+    pair aggregation)."""
+    import pandas as pd
+
+    from char_ner_spark.dedup import write_shingle_index
+    from char_ner_spark.driver_queries import (
+        _nj_candidates_sql,
+        ngram_jaccard_pairs,
+    )
+
+    docs = [
+        (0, "x y z a b c d e"),
+        (1, "x y z a b c d f"),
+        (2, "x y z p q r s t"),
+        (3, "x y z p q r s u"),
+        (4, "m n o k1 k2 k3 k4 k5"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    ).createOrReplaceTempView("bsi_docs")
+    name = "bsi_index"
+    try:
+        write_shingle_index(spark, "bsi_docs", name, buckets=4,
+                            path=str(tmp_path / "idx"))
+        key = lambda df: sorted(
+            (r.doc_a, r.doc_b, r.jaccard_e4)
+            for r in df.toPandas().itertuples()
+        )
+        direct = key(ngram_jaccard_pairs(spark, "bsi_docs"))
+        via_idx = key(ngram_jaccard_pairs(spark, "bsi_docs", dd_table=name))
+        assert direct == via_idx and len(direct) > 0
+
+        # plan evidence: bucketed scans feed the self-join without exchanges
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            import contextlib
+            import io
+            import re
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                spark.sql(_nj_candidates_sql(name, 2000)).explain("formatted")
+            p = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        assert "Bucketed: true" in p, p[:2000]
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+        # one exchange for the pair aggregation; none under the join
+        assert n_exchange == 1, (n_exchange, p[:3000])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

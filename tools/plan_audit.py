@@ -180,7 +180,7 @@ def main() -> int:
     from char_ner_spark.driver_queries import _nj_candidates_sql, _nj_stage_dd
 
     v = _nj_stage_dd(spark, "documents")
-    p9 = fmt(spark.sql(_nj_candidates_sql(v, 2000)))
+    p9 = fmt(spark.sql(_nj_candidates_sql(f"{v}_dd", 2000)))
     spark.catalog.dropTempView(f"{v}_dd")
     sections.append((
         "ngram_jaccard candidates (prefix-filtered self-join)", p9,
@@ -190,6 +190,34 @@ def main() -> int:
             ("fused partial aggregation off the join",
              "partial_" in p9.lower() or "HashAggregate" in p9),
             ("no Python eval", "Python" not in p9 and "ArrowEval" not in p9),
+        ],
+    ))
+
+    # 9. bucketed shingle index (round-4): the on-disk staging variant's
+    # candidate self-join is CO-LOCATED — both sides read pre-bucketed,
+    # pre-sorted sid files, so the only exchange left is the pair
+    # aggregation (AQE/broadcast off for a clean pre-execution explain)
+    from char_ner_spark.dedup import write_shingle_index
+
+    idx_dir = tempfile.mkdtemp(prefix="cns_plan_shidx_")
+    write_shingle_index(spark, "documents", "plan_audit_shidx", buckets=8,
+                        path=os.path.join(idx_dir, "idx"))
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p10 = fmt(spark.sql(_nj_candidates_sql("plan_audit_shidx", 2000)))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS plan_audit_shidx")
+    sections.append((
+        "write_shingle_index (bucketed co-located self-join)", p10,
+        [
+            ("join sides read bucketed files", "Bucketed: true" in p10),
+            ("no exchange under the join (only the pair aggregation)",
+             len(re.findall(r"\(\d+\) Exchange", p10)) == 1),
         ],
     ))
 
