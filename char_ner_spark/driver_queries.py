@@ -381,10 +381,12 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
     n - ⌈t·n⌉ + 1 shingles generate join rows, with a length-ratio prune),
     then (2) an exact intersection count for the surviving candidate pairs
     only. The verify pass first prunes the staged (doc_id, shingle) set to
-    docs that appear in ≥1 candidate pair (broadcast semi-join — candidates
-    are ≪ corpus at every scale, so the big set is scanned once and never
-    shuffled in full), then counts shared shingles per pair — linear in
-    |candidates| × doc size. The old df_cap/hot-correction machinery is
+    docs that appear in ≥1 candidate pair (semi-join; AQE picks broadcast
+    while the candidate doc set fits — no hard hint, because that set grows
+    linearly with the corpus and a forced broadcast would OOM the driver at
+    10^12 docs; past broadcast size the join shuffles by doc_id, a
+    partitioning the collect_list aggregation immediately reuses), then
+    counts shared shingles per pair — linear in |candidates| × doc size. The old df_cap/hot-correction machinery is
     gone: the prefix filter is unconditionally exact, with no "must share a
     sub-cap shingle" caveat."""
     if dd_table is not None:
@@ -406,7 +408,7 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
         f"""WITH cd AS (
           SELECT doc_a AS doc_id FROM {v}_cand
           UNION SELECT doc_b FROM {v}_cand)
-        SELECT /*+ BROADCAST(cd) */ d.doc_id, collect_list(d.sid) AS sids
+        SELECT d.doc_id, collect_list(d.sid) AS sids
         FROM {dd_rel} d JOIN cd ON d.doc_id = cd.doc_id
         GROUP BY d.doc_id"""
     ).localCheckpoint()  # referenced by BOTH sides of the pair join below
