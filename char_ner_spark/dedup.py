@@ -67,7 +67,21 @@ def shingle_set_sql(table: str) -> str:
     ``sid`` dictionary-encodes the shingle string to a BIGINT by equality
     join (collision-free); ``c`` is global document frequency; ``rn``/``n``
     are the per-doc rank in the global (c, sid) order and the set size —
-    everything the PPJoin prefix filter needs, computed once."""
+    everything the PPJoin prefix filter needs, computed once.
+
+    CONTRACT — materialize before reuse (ADVICE r4): ``sid`` comes from
+    ``monotonically_increasing_id()`` inside an aggregate, which is
+    deterministic only WITHIN one physical execution. A caller that
+    references this relation more than once (both sides of a self-join,
+    candidate + verify branches) MUST materialize it first
+    (``localCheckpoint()`` / ``saveAsTable`` — every in-repo consumer
+    does), or the references may see different sid assignments. A
+    collision-free DETERMINISTIC encoding would need a global total order
+    (``ROW_NUMBER() OVER (ORDER BY shingle)`` — a single-partition sort of
+    the corpus's distinct shingles), which is exactly the shuffle this
+    relation exists to avoid at 10^12 docs; hashing is out because no
+    64-bit hash is collision-free at that cardinality. Materialize-once is
+    the scale-correct contract."""
     return f"""
         WITH sh AS ({shingles_cte(table, SPARK)}),
         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -94,13 +108,81 @@ def write_shingle_index(spark, docs_table: str = "documents",
     remaining exchange is the pair aggregation), which is the difference
     between re-shuffling the corpus per dedup run and reading it in place.
     Pass the index name as ``dd_table`` to ngram_jaccard_pairs /
-    ngram_jaccard_candidates. ``path`` makes it an external table there."""
+    ngram_jaccard_candidates. ``path`` makes it an external table there.
+
+    The index is a point-in-time copy of ``docs_table``: a source
+    fingerprint (row count + order-independent ``bit_xor(xxhash64(doc_id,
+    text))`` checksum) is recorded as table properties at write time
+    (ADVICE r4), and ngram_jaccard_pairs / ngram_jaccard_candidates
+    re-verify it against the live source before trusting the index —
+    dedup results over a silently-stale index are worse than a failed
+    job. Callers who must skip the verification scan (the source moved,
+    or a 10^12-doc corpus where the rescan is the cost being avoided)
+    pass ``verify_index=False`` there and own the invalidation."""
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     w = spark.sql(shingle_set_sql(docs_table)).write
     if path is not None:
         w = w.option("path", path)
     (w.bucketBy(buckets, "sid").sortBy("sid")
       .mode("overwrite").saveAsTable(table_name))
+    n, fp = _source_fingerprint(spark, docs_table)
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES ("
+        f"'cns.source_table' = '{docs_table}', "
+        f"'cns.source_rows' = '{n}', 'cns.source_fp' = '{fp}')"
+    )
+
+
+def _source_fingerprint(spark, docs_table: str) -> tuple[int, int]:
+    """(row count, order-independent content checksum) of a documents
+    relation — one column-pruned scan of (doc_id, text)."""
+    row = spark.sql(
+        f"SELECT COUNT(*) AS n, "
+        f"COALESCE(bit_xor(xxhash64(CAST(doc_id AS STRING), text)), 0) AS fp "
+        f"FROM {docs_table}"
+    ).first()
+    return int(row["n"]), int(row["fp"])
+
+
+def index_source_props(spark, table_name: str) -> dict[str, str] | None:
+    """The ``cns.*`` source-binding properties of a shingle index, or None
+    when ``table_name`` is not a catalog table carrying them (a temp view,
+    or an index written before the fingerprint scheme existed)."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    except Exception:
+        return None
+    props = {r["key"]: r["value"] for r in rows}
+    if "cns.source_rows" not in props:
+        return None
+    return props
+
+
+def verify_shingle_index(spark, table_name: str) -> None:
+    """Raise ``ValueError`` if ``table_name``'s recorded source fingerprint
+    no longer matches the live source relation (the corpus changed after
+    :func:`write_shingle_index`), or if the recorded source can't be
+    resolved to re-check. No-op for tables without the properties."""
+    props = index_source_props(spark, table_name)
+    if props is None:
+        return
+    src = props.get("cns.source_table", "")
+    try:
+        n, fp = _source_fingerprint(spark, src)
+    except Exception as exc:
+        raise ValueError(
+            f"shingle index {table_name!r} records source {src!r}, which is "
+            f"not resolvable in this session — the index cannot be "
+            f"validated ({exc}); pass verify_index=False to accept it as-is"
+        ) from exc
+    want = (int(props["cns.source_rows"]), int(props["cns.source_fp"]))
+    if (n, fp) != want:
+        raise ValueError(
+            f"shingle index {table_name!r} is STALE: source {src!r} is now "
+            f"(rows={n}, fp={fp}) but the index was built at (rows={want[0]}, "
+            f"fp={want[1]}); rebuild with write_shingle_index or pass "
+            f"verify_index=False to use the point-in-time copy knowingly"
+        )
 
 
 def simhash_sql(dialect: str, table: str = "documents", bits: int = 60) -> str:

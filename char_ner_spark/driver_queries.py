@@ -357,12 +357,22 @@ def _nj_candidates_sql(dd: str, threshold_e4: int) -> str:
 def ngram_jaccard_candidates(spark: SparkSession,
                              docs_table: str = "documents",
                              threshold_e4: int = 2000,
-                             dd_table: str | None = None) -> DataFrame:
+                             dd_table: str | None = None,
+                             verify_index: bool = True) -> DataFrame:
     """The candidate stage of :func:`ngram_jaccard_pairs`, exposed so its
     volume is testable: on a degenerate corpus (hundreds of docs sharing one
     hot shingle) this must stay ≪ f² — the hot shingle sorts last in the
-    global df order and never enters a prefix."""
+    global df order and never enters a prefix.
+
+    When ``dd_table`` names a :func:`~char_ner_spark.dedup.write_shingle_index`
+    table, its recorded source fingerprint is re-verified against the live
+    source first (one pruned scan; ``verify_index=False`` skips it — the
+    caller then owns invalidation of the point-in-time copy, ADVICE r4)."""
     if dd_table is not None:
+        if verify_index:
+            from .dedup import verify_shingle_index
+
+            verify_shingle_index(spark, dd_table)
         return spark.sql(_nj_candidates_sql(dd_table, threshold_e4))
     v = _nj_stage_dd(spark, docs_table)
     out = spark.sql(_nj_candidates_sql(f"{v}_dd", threshold_e4))
@@ -372,7 +382,8 @@ def ngram_jaccard_candidates(spark: SparkSession,
 
 def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
                         threshold_e4: int = 2000,
-                        dd_table: str | None = None) -> DataFrame:
+                        dd_table: str | None = None,
+                        verify_index: bool = True) -> DataFrame:
     """Word-trigram Jaccard pairs (≥ ``threshold_e4``/1e4), exact output.
 
     Two stages, both sub-quadratic (the round-3 verdict's last remaining
@@ -388,8 +399,16 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
     partitioning the collect_list aggregation immediately reuses), then
     counts shared shingles per pair — linear in |candidates| × doc size. The old df_cap/hot-correction machinery is
     gone: the prefix filter is unconditionally exact, with no "must share a
-    sub-cap shingle" caveat."""
+    sub-cap shingle" caveat.
+
+    ``dd_table`` indexes are re-verified against their recorded source
+    fingerprint unless ``verify_index=False`` (see
+    :func:`ngram_jaccard_candidates`)."""
     if dd_table is not None:
+        if verify_index:
+            from .dedup import verify_shingle_index
+
+            verify_shingle_index(spark, dd_table)
         dd_rel, v = dd_table, f"nj{next(_NJ_CALL_SEQ)}"
     else:
         v = _nj_stage_dd(spark, docs_table)

@@ -165,7 +165,15 @@ def lsh_topk(
     ``near_dup_candidates`` uses while a small corpus keeps the 6-bit
     single-table recall profile; pass them explicitly to pin either.
     ``dim`` defaults to the data's own embedding width (one 1-row
-    probe)."""
+    probe).
+
+    NOTE (ADVICE r4): the defaults are data-dependent — every
+    default-parameter call runs one count+width aggregate over ``vectors``
+    before planning, and the recall profile shifts with corpus size.
+    Callers who invoke repeatedly on the same corpus, or who relied on the
+    former fixed 6-bit/1-table profile on mid-size corpora, should pass
+    ``bits``/``tables``/``dim`` explicitly: pinning all three skips the
+    probe scan entirely and freezes the recall profile."""
     if bits is None or dim is None:
         # ONE aggregate job supplies both corpus size and width (two
         # separate probe jobs doubled the scan on the default path)

@@ -225,5 +225,21 @@ def test_bucketed_shingle_index_colocated_join(spark, tmp_path):
         n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
         # one exchange for the pair aggregation; none under the join
         assert n_exchange == 1, (n_exchange, p[:3000])
+
+        # staleness gate (ADVICE r4): the index records a source
+        # fingerprint; a mutated source must fail loud at use time, and
+        # verify_index=False must accept the point-in-time copy knowingly
+        spark.createDataFrame(
+            pd.DataFrame(docs[:-1], columns=["doc_id", "text"])
+        ).createOrReplaceTempView("bsi_docs")
+        import pytest
+
+        with pytest.raises(ValueError, match="STALE"):
+            ngram_jaccard_pairs(spark, "bsi_docs", dd_table=name)
+        stale_ok = key(
+            ngram_jaccard_pairs(spark, "bsi_docs", dd_table=name,
+                                verify_index=False)
+        )
+        assert stale_ok == via_idx  # the copy still answers for its epoch
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
