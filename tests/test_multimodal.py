@@ -1,4 +1,5 @@
-"""Multimodal binary-column plumbing tests (decode stubbed, plumbing real)."""
+"""Multimodal binary-column tests: REAL pure-NumPy BMP/WAV codecs (round 5)
+plus the honest decode stubs for codec-library formats (JPEG/PNG/video)."""
 
 import hashlib
 
@@ -11,6 +12,97 @@ from char_ner_spark import multimodal as MM
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"xxxx")
+
+
+def test_bmp_roundtrip_bottom_up_padded():
+    """encode_bmp → decode_image is pixel-identical, including rows that
+    need 4-byte padding (w=5 → stride 16, not 15)."""
+    rng = np.random.RandomState(7)
+    for w, h in [(5, 3), (8, 8), (13, 2), (1, 1)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        b = MM.encode_bmp(img)
+        assert b[:2] == b"BM"
+        got = MM.decode_image(b)
+        assert got.dtype == np.uint8 and got.shape == (h, w, 3)
+        assert np.array_equal(got, img)
+
+
+def test_bmp_decode_top_down_and_32bit():
+    """Real decoder handles top-down storage (negative height) and 32-bit
+    BGRA pixels, both of which appear in the wild."""
+    import struct
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    # hand-build a top-down 32-bit BMP (stride = 4*w, no padding needed)
+    body = bytearray()
+    for r in range(2):  # top-down: row 0 first
+        for c in range(3):
+            px = img[r, c]
+            body += bytes([px[2], px[1], px[0], 0xFF])  # BGRA
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 3, -2, 1, 32, 0, len(body),
+                      2835, 2835, 0, 0)
+    got = MM.decode_image(bytes(head + dib + body))
+    assert np.array_equal(got, img)
+
+
+def test_bmp_decode_rejects_compressed():
+    import struct
+
+    head = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 1, 0, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(bytes(head + dib))  # compression=1 (RLE8)
+
+
+def test_wav_roundtrip_pcm16():
+    samples = (np.sin(np.arange(500) * 0.1) * 20000).astype(np.int16)
+    b = MM.encode_wav(samples, rate=8000)
+    got, rate, ch = MM.decode_audio(b)
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(got, samples)
+
+
+def test_wav_decode_8bit_and_chunk_skip():
+    """RIFF walk must skip unknown chunks (LIST before fmt) and rescale
+    unsigned 8-bit PCM to centered int16."""
+    import struct
+
+    raw8 = np.array([0, 128, 255, 64], dtype=np.uint8)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 4000, 4000, 1, 8)
+    data = struct.pack("<4sI", b"data", len(raw8)) + raw8.tobytes()
+    skip = struct.pack("<4sI", b"LIST", 6) + b"INFOab"  # odd len → pad byte
+    body = skip + fmt + data
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    got, rate, ch = MM.decode_audio(payload)
+    assert rate == 4000 and ch == 1
+    assert np.array_equal(got, (raw8.astype(np.int16) - 128) * 256)
+
+
+def test_wav_decode_rejects_non_pcm():
+    import struct
+
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 3, 1, 8000, 32000, 4, 32)
+    body = fmt + struct.pack("<4sI", b"data", 0)
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(payload)  # format=3 (IEEE float)
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"\x00" * 64)  # not RIFF at all
+
+
+def test_fixture_payloads_really_decode():
+    """make_media_fixture emits true BMP/WAV bitstreams: the REAL decoders
+    (no fake fallback) recover the metadata dims/durations exactly."""
+    pdf = MM.make_media_fixture(24, seed=42)
+    for row in pdf.itertuples():
+        if row.kind == "image":
+            img = MM.decode_image(row.payload)
+            assert (img.shape[1], img.shape[0]) == (row.width, row.height)
+        elif row.kind == "audio":
+            samples, rate, ch = MM.decode_audio(row.payload)
+            assert rate == 8000 and ch == 1
+            assert samples.size * 1000 // rate == row.duration_ms
 
 
 def test_fake_decode_deterministic():
