@@ -759,20 +759,36 @@ def middles_table(spark: SparkSession) -> DataFrame:
     )
 
 
-def _gap_keys_col(gap_norm):
-    """Candidate (pre, post, f) join keys for one observed normalized gap —
-    the probe side of the bounded-gap template join. For each template
-    SHAPE (|pre| tokens, |post| tokens — driver-side constants from
-    relations.TEMPLATE_SHAPES) the gap's first |pre| and last |post| tokens
-    form a key with filler count f = n - |pre| - |post|, emitted only when
-    0 ≤ f ≤ that shape's max gap bound. All JVM expressions (split/slice/
-    array_join) — most pairs emit ZERO keys (long gaps exceed every
-    shape's bound), so explode drops them before the broadcast join ever
-    sees them; the per-pair key fan-out is bounded by the handful of
-    registry shapes, never by gap length."""
-    toks = F.split(F.trim(gap_norm), " ")
-    toks = F.when(F.trim(gap_norm) == "", F.array().cast("array<string>")) \
-        .otherwise(toks)
+#: longest gap (in tokens) any template shape can absorb — gaps above this
+#: emit zero keys, so the triple stage drops them BEFORE key construction
+_MAX_KEY_TOKENS = max(pl + jl + fmax
+                      for (pl, jl), fmax in relations.TEMPLATE_SHAPES.items())
+
+
+def _gap_toks_col(c):
+    """Gap → normalized token array in ONE regex pass (round-5 fast path):
+    split lower(gap) on the combined punct∪ws separator class instead of
+    the replace→replace→collapse→re-split chain — same tokens (parity
+    fuzz-tested vs relations.normalize_gap().split()), no intermediate
+    string materialization per pair. The triple stage runs this on every
+    adjacent linked pair, so the saved regex passes are the bounded-gap
+    overhead round 4 measured."""
+    return F.array_remove(
+        F.split(F.lower(c), relations.GAP_SEP_PATTERN, -1), ""
+    )
+
+
+def _gap_keys_col(toks):
+    """Candidate (pre, post, f) join keys from a gap's normalized token
+    array — the probe side of the bounded-gap template join. For each
+    template SHAPE (|pre| tokens, |post| tokens — driver-side constants
+    from relations.TEMPLATE_SHAPES) the gap's first |pre| and last |post|
+    tokens form a key with filler count f = n - |pre| - |post|, emitted
+    only when 0 ≤ f ≤ that shape's max gap bound. All JVM expressions
+    (slice/array_join under conditional branches) — most pairs emit ZERO
+    keys (long gaps exceed every shape's bound), so explode drops them
+    before the broadcast join ever sees them; the per-pair key fan-out is
+    bounded by the handful of registry shapes, never by gap length."""
     n = F.size(toks)
     keys = []
     for (pl, jl), fmax in sorted(relations.TEMPLATE_SHAPES.items()):
@@ -802,8 +818,11 @@ def extract_triples(linked_pairs: DataFrame, canon: DataFrame, middles: DataFram
         linked_pairs.filter(
             F.col("entity_id").isNotNull() & F.col("next_entity").isNotNull()
         )
-        .withColumn("gap_norm", _gap_norm_col(F.col("next_gap")))
-        .withColumn("gk", F.explode(_gap_keys_col(F.col("gap_norm"))))
+        .withColumn("gtoks", _gap_toks_col(F.col("next_gap")))
+        # cheap pre-filter: a gap longer than every shape's token budget
+        # can't match any template — drop it before key construction
+        .where(F.size("gtoks") <= _MAX_KEY_TOKENS)
+        .withColumn("gk", F.explode(_gap_keys_col(F.col("gtoks"))))
         .select("*", F.col("gk.pre").alias("pre"),
                 F.col("gk.post").alias("post"), F.col("gk.f").alias("f"))
         .join(F.broadcast(middles), ["lang", "pre", "post", "f"], "inner")

@@ -74,6 +74,12 @@ GAP_PUNCT_PATTERN = (
     "[.,;:!?¡¿\"'()\\[\\]{}«»„“”‘’\\-–—/\\\\|+*&%$#@~^<>=_]"
 )
 GAP_WS_PATTERN = "[ \t\n\r]+"
+#: single-pass separator class: punct ∪ whitespace. Splitting lower(text)
+#: on this yields exactly normalize_gap(text).split() (plus removable empty
+#: strings at the edges) — the round-5 fast path pipeline._gap_toks_col
+#: uses it to tokenize gaps in ONE regex pass instead of replace+replace+
+#: re-split; parity is fuzz-tested in tests/test_relations_gap.py
+GAP_SEP_PATTERN = GAP_PUNCT_PATTERN[:-1] + " \t\n\r]+"
 
 import re as _re
 

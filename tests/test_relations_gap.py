@@ -87,6 +87,31 @@ def test_spark_gap_norm_parity_fuzz(spark):
     assert got == want
 
 
+def test_spark_gap_toks_parity_fuzz(spark):
+    """The single-pass tokenizer (round-5 fast path: split on the combined
+    separator class) must yield exactly normalize_gap(g).split() on the
+    same hostile alphabet — this is the claim that lets extract_triples
+    skip the replace-chain string materialization per pair."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from char_ner_spark.pipeline import _gap_toks_col
+
+    rng = random.Random(20160731)
+    alphabet = (
+        "abcXYZ019 üöäßñéí  .,;:!?¡¿\"'()[]{}«»„“”‘’-–—/\\|+*&%$#@~^<>=_\t\n"
+    )
+    gaps = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(500)
+    ] + GAPS
+    sdf = spark.createDataFrame(pd.DataFrame({"g": gaps}))
+    got = [list(r.t) for r in sdf.select(_gap_toks_col(F.col("g")).alias("t")).collect()]
+    want = [R.normalize_gap(g).split() for g in gaps]
+    assert got == want
+
+
 def test_spark_gap_norm_parity_and_join(spark):
     """The JVM gap normalization must equal normalize_gap byte-for-byte on
     every shape (unicode, tabs, empties), and extract_triples must fire on
