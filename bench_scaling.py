@@ -87,6 +87,61 @@ def run_once(cores: int, pages_dir: str, zpath: str) -> dict:
     raise RuntimeError(f"worker failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
 
 
+def _patch_md_extra_pair(summary: dict, all_runs: dict[int, list[dict]]) -> None:
+    """Insert/refresh an additional-pair section in BENCH/BASELINE.md.
+
+    The primary [2,8] section is regenerated wholesale by main(); extra
+    pairs (round-5: full-host pairs like 8x32) are patched in between
+    HTML-comment markers so reruns refresh in place and the primary
+    evidence is never clobbered.
+    """
+    lo, hi = summary["scales"]
+    marker = f"extra-pair {lo}x{hi}"
+    rs = summary["results"]
+    rlo, rhi = rs[str(lo)], rs[str(hi)]
+    lp = summary["last_pair"]
+    section = f"""<!-- {marker} start -->
+## Additional pair: local[{lo}] vs local[{hi}] (full-host evidence)
+
+Same harness, same {summary['corpus_pages']}-page corpus, separate JVMs.
+This pair exercises the host up to the bench's own local[32] parallelism;
+at local[{hi}] the {hi} Spark threads + driver + Python workers oversubscribe
+the 32 physical cores and share one memory controller, so this leg measures
+the single-box ceiling, not executor-count scaling (a control experiment
+with pure-python spinners — zero Spark, zero shared state — scales at only
+~0.73 efficiency 8→32 on this VM, ~0.86 at 4→16; the caveat section below
+applies doubly here).
+
+| parallelism | pages | triples | sec | triples/sec | pages/sec |
+|---|---|---|---|---|---|
+| local[{lo}] | {rlo['pages']} | {rlo['triples']} | {rlo['sec']} | {rlo['triples_per_sec']} | {rlo['pages_per_sec']} |
+| local[{hi}] | {rhi['pages']} | {rhi['triples']} | {rhi['sec']} | {rhi['triples_per_sec']} | {rhi['pages_per_sec']} |
+
+**Scaling efficiency ({lo}→{hi} cores): {summary['scaling_efficiency']}**
+(best-per-scale over {len(all_runs[lo])}/{len(all_runs[hi])} accumulated
+runs); freshest same-session pair: local[{lo}] {lp[str(lo)]['sec']}s
+({lp[str(lo)]['triples_per_sec']} t/s) vs local[{hi}] {lp[str(hi)]['sec']}s
+({lp[str(hi)]['triples_per_sec']} t/s) → **{lp['scaling_efficiency']}**.
+All runs (sec): local[{lo}]={[r['sec'] for r in all_runs[lo]]},
+local[{hi}]={[r['sec'] for r in all_runs[hi]]}
+<!-- {marker} end -->
+"""
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md_path) as f:
+        md = f.read()
+    start, end = f"<!-- {marker} start -->", f"<!-- {marker} end -->\n"
+    if start in md and end in md:
+        pre = md[: md.index(start)]
+        post = md[md.index(end) + len(end):]
+        md = pre + section + post
+    elif "## Reference comparison" in md:
+        md = md.replace("## Reference comparison", section + "\n## Reference comparison", 1)
+    else:
+        md = md + "\n" + section
+    with open(md_path, "w") as f:
+        f.write(md)
+
+
 def main() -> int:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -97,7 +152,17 @@ def main() -> int:
     # hits both configurations alike; accumulate history across invocations
     # (the host is a shared VM — more samples, better best-per-scale)
     all_runs: dict[int, list[dict]] = {c: [] for c in SCALES}
+    # per-pair history: the legacy unsuffixed file belongs to whichever pair
+    # it already records (2,8 as of round 2); other pairs (round 5: 8 vs 32)
+    # accumulate in their own files so no pair's history is clobbered
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.json")
+    legacy_owns_pair = os.path.exists(hist_path) and json.load(
+        open(hist_path)
+    ).get("scales") == list(SCALES)
+    if not legacy_owns_pair and list(SCALES) != [2, 8]:
+        hist_path = os.path.join(
+            REPO, "BENCH", f"scaling_history_{SCALES[0]}x{SCALES[1]}.json"
+        )
     if os.path.exists(hist_path):
         with open(hist_path) as f:
             hist = json.load(f)
@@ -142,7 +207,23 @@ def main() -> int:
         "note": f"local[{lo}] vs local[{hi}] on one host — sandbox proxy for N vs 4N executors (no real cluster available)",
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    sj_path = os.path.join(REPO, "BENCH", "scaling.json")
+    existing: dict = {}
+    if os.path.exists(sj_path):
+        with open(sj_path) as f:
+            existing = json.load(f)
+    if existing.get("scales") and existing["scales"] != list(SCALES):
+        # a different pair is the primary record (2 vs 8 since round 2):
+        # keep it and add/refresh this pair under extra_pairs (round-5 item:
+        # an 8-vs-32 pair exercising the full host alongside the primary)
+        existing.setdefault("extra_pairs", {})[f"{lo}x{hi}"] = summary
+        with open(sj_path, "w") as f:
+            json.dump(existing, f, indent=1)
+        _patch_md_extra_pair(summary, all_runs)
+        print(json.dumps(summary))
+        return 0
+    summary["extra_pairs"] = existing.get("extra_pairs", {})
+    with open(sj_path, "w") as f:
         json.dump(summary, f, indent=1)
     md = f"""# BENCH/BASELINE.md — measured engine numbers
 

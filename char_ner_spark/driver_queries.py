@@ -941,22 +941,27 @@ _ANN_IVF_DUCK_SQL = """
 
 def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline (SURVEY §2.11; REAL pure-NumPy
-    BMP/WAV decode as of round 5, video decode still the honest stub). The
+    BMP/WAV/AVI decode as of round 5 — every fixture format except the
+    deliberately-opaque compressed-container rows decodes for real). The
     fixture is staged as parquet so DuckDB can read the same bytes; the
     Spark side runs the production decoders inside mapInPandas and emits
     integer-exact columns the oracle recomputes from the raw payload plus
     the fixture's format contract:
 
     - ``payload_hex`` proves the binary column crossed Arrow byte-identically;
-    - ``img_w``/``img_h``/``n_samples``/``sample_rate`` come from the REAL
-      header parse (BMP DIB / WAV fmt chunk) — the oracle derives them from
-      the fixture's metadata columns and the canonical 54/44-byte header
-      layout, so a wrong parse hash-mismatches;
+    - ``img_w``/``img_h``/``n_samples``/``sample_rate``/``n_frames``/
+      ``frame_ms`` come from the REAL header parse (BMP DIB / WAV fmt
+      chunk / AVI avih + chunk walk) — the oracle derives them from the
+      fixture's metadata columns and the canonical 54/44/232-byte header
+      layouts, so a wrong parse hash-mismatches;
     - ``hist16`` is the high-nibble histogram of the DECODED content
-      (pixel array for images, int16 samples for audio, raw payload for
-      stub-decoded video) — the oracle recomputes it from the payload's
-      content byte range (nibble histograms are permutation-invariant, so
-      BGR-bottom-up file order vs RGB-top-down array order agree exactly);
+      (pixel array for images, int16 samples for audio, stacked RGB frame
+      array for uncompressed-AVI video, raw payload for the opaque
+      compressed-container rows) — the oracle recomputes it from the
+      payload's content byte range(s) (nibble histograms are
+      permutation-invariant, so BGR-bottom-up file order vs RGB-top-down
+      array order agree exactly; for AVI the ranges are the per-frame
+      '00db' pixel regions at the canonical encoder layout);
     - thumb dims come from the actually-resized decoded pixels.
 
     The float32 feature + sha256 surface is covered in
@@ -970,7 +975,7 @@ def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from .multimodal import decode_audio, decode_image, resize_image
+    from .multimodal import decode_audio, decode_image, decode_video, is_avi, resize_image
 
     register_views(spark, sf_dir)
     media = spark.read.parquet(_media_fixture_path())
@@ -986,6 +991,8 @@ def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("img_h", T.IntegerType()),
             T.StructField("n_samples", T.IntegerType()),
             T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frame_ms", T.IntegerType()),
             T.StructField("thumb_w", T.IntegerType()),
             T.StructField("thumb_h", T.IntegerType()),
         ]
@@ -997,6 +1004,7 @@ def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 img_w = img_h = n_samp = rate = thumb_w = thumb_h = None
+                n_frames = frame_ms = None
                 if kind == "image":
                     img = decode_image(b)  # REAL BMP decode, no fake fallback
                     content = img.tobytes()
@@ -1007,7 +1015,12 @@ def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     samples, rate, _ch = decode_audio(b)  # REAL PCM decode
                     content = samples.tobytes()
                     n_samp, rate = int(samples.size), int(rate)
-                else:  # video: decode stubbed, content = raw payload
+                elif kind == "video" and is_avi(b):
+                    frames, fms = decode_video(b)  # REAL AVI decode
+                    content = frames.tobytes()
+                    n_frames, frame_ms = int(frames.shape[0]), int(fms)
+                    img_h, img_w = int(frames.shape[1]), int(frames.shape[2])
+                else:  # compressed-container video: content = raw payload
                     content = b
                 arr = np.frombuffer(content, dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=16)
@@ -1020,6 +1033,8 @@ def _fn_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["img_h"].append(img_h)
                 rows["n_samples"].append(n_samp)
                 rows["sample_rate"].append(rate)
+                rows["n_frames"].append(n_frames)
+                rows["frame_ms"].append(frame_ms)
                 rows["thumb_w"].append(thumb_w)
                 rows["thumb_h"].append(thumb_h)
             yield pd.DataFrame(rows)
@@ -1075,9 +1090,14 @@ def _media_duck_sql() -> str:
     Spark side must REDISCOVER by parsing the actual DIB header), audio is
     canonical 44-byte-header PCM16 mono WAV at 8 kHz (sample region =
     bytes 45.., n_samples = (len-44)/2, rate = 8000 — Spark must parse the
-    fmt chunk to match), video is undecodable (content = whole payload).
-    hist16 is the high-nibble histogram of the content range (hex-digit
-    trick: the high nibble of byte j is hex char 2j-1, 1-based); nibble
+    fmt chunk to match), video with metadata dims is a canonical-layout
+    uncompressed AVI (n_frames = duration_ms/1000 pad-free 24-bit DIB
+    frames of 3wh bytes each, frame k's pixel region starting at byte
+    offset 232 + k*(3wh+8) per multimodal.AVI_FRAME0_OFFSET — Spark must
+    walk the real chunk tree to match), and dim-less video rows are
+    opaque compressed containers (content = whole payload). hist16 is the
+    high-nibble histogram of the content range(s) (hex-digit trick: the
+    high nibble of 0-based byte j is hex char 2j+1, 1-based); nibble
     histograms are permutation-invariant, so the oracle's file-order bytes
     equal Spark's decoded-array-order bytes exactly."""
     path = _media_fixture_path()
@@ -1085,17 +1105,30 @@ def _media_duck_sql() -> str:
     WITH m AS (
         SELECT media_id, kind, payload, lower(hex(payload)) AS h,
                CAST(octet_length(payload) AS BIGINT) AS len,
-               CASE kind WHEN 'image' THEN 54 WHEN 'audio' THEN 44
-                         ELSE 0 END AS off,
-               CASE kind
-                    WHEN 'image' THEN 3 * CAST(width AS BIGINT) * CAST(height AS BIGINT)
-                    WHEN 'audio' THEN CAST(octet_length(payload) AS BIGINT) - 44
+               CASE WHEN kind = 'image' THEN 54
+                    WHEN kind = 'audio' THEN 44
+                    WHEN kind = 'video' AND width IS NOT NULL THEN 232
+                    ELSE 0 END AS off,
+               CASE WHEN kind = 'image' OR (kind = 'video' AND width IS NOT NULL)
+                         THEN 3 * CAST(width AS BIGINT) * CAST(height AS BIGINT)
+                    WHEN kind = 'audio'
+                         THEN CAST(octet_length(payload) AS BIGINT) - 44
                     ELSE CAST(octet_length(payload) AS BIGINT) END AS clen,
-               CAST(width AS INTEGER) AS meta_w, CAST(height AS INTEGER) AS meta_h
+               CASE WHEN kind = 'video' AND width IS NOT NULL
+                    THEN CAST(duration_ms AS BIGINT) // 1000
+                    ELSE 1 END AS nf,
+               CASE WHEN kind = 'video' AND width IS NOT NULL
+                    THEN 3 * CAST(width AS BIGINT) * CAST(height AS BIGINT) + 8
+                    ELSE 0 END AS stride,
+               CAST(width AS INTEGER) AS meta_w, CAST(height AS INTEGER) AS meta_h,
+               CAST(duration_ms AS BIGINT) AS duration_ms
         FROM read_parquet('{path}')),
-    idx AS (
-        SELECT media_id, h, unnest(range(off + 1, off + clen + 1)) AS i
+    regions AS (
+        SELECT media_id, h, off + unnest(range(0, nf)) * stride AS roff, clen
         FROM m),
+    idx AS (
+        SELECT media_id, h, unnest(range(roff + 1, roff + clen + 1)) AS i
+        FROM regions),
     digits AS (
         SELECT media_id,
                strpos('0123456789abcdef', substring(h, CAST(2*i - 1 AS INTEGER), 1)) - 1 AS v
@@ -1110,11 +1143,19 @@ def _media_duck_sql() -> str:
         FROM bins GROUP BY media_id)
     SELECT m.media_id, m.kind, m.len AS n_bytes,
            hists.hist16, m.h AS payload_hex,
-           CASE WHEN m.kind = 'image' THEN m.meta_w END AS img_w,
-           CASE WHEN m.kind = 'image' THEN m.meta_h END AS img_h,
+           CASE WHEN m.kind = 'image'
+                     OR (m.kind = 'video' AND m.meta_w IS NOT NULL)
+                THEN m.meta_w END AS img_w,
+           CASE WHEN m.kind = 'image'
+                     OR (m.kind = 'video' AND m.meta_w IS NOT NULL)
+                THEN m.meta_h END AS img_h,
            CASE WHEN m.kind = 'audio'
                 THEN CAST((m.len - 44) // 2 AS INTEGER) END AS n_samples,
            CASE WHEN m.kind = 'audio' THEN 8000 END AS sample_rate,
+           CASE WHEN m.kind = 'video' AND m.meta_w IS NOT NULL
+                THEN CAST(m.duration_ms // 1000 AS INTEGER) END AS n_frames,
+           CASE WHEN m.kind = 'video' AND m.meta_w IS NOT NULL
+                THEN 1000 END AS frame_ms,
            CASE WHEN m.kind = 'image' THEN 8 END AS thumb_w,
            CASE WHEN m.kind = 'image' THEN 8 END AS thumb_h
     FROM m JOIN hists ON m.media_id = hists.media_id

@@ -188,3 +188,136 @@ def test_sample_video_frames_distributed(spark):
         for r in df.itertuples()
     }
     assert key(re) == key(got)
+
+
+def test_avi_roundtrip_full_decode():
+    """encode_avi → decode_video recovers every frame pixel-identically
+    (the encoder writes bottom-up BGR DIBs; the decoder must undo both)."""
+    rng = np.random.RandomState(11)
+    for nf, h, w in [(1, 3, 4), (4, 5, 8), (7, 2, 4)]:
+        frames = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        b = MM.encode_avi(frames, frame_ms=500)
+        assert MM.is_avi(b)
+        got, frame_ms = MM.decode_video(b)
+        assert frame_ms == 500
+        assert got.dtype == np.uint8 and got.shape == frames.shape
+        assert np.array_equal(got, frames)
+
+
+def test_avi_frame0_offset_matches_encoder_layout():
+    """The canonical-layout constants the driver oracle uses to address
+    frame byte ranges must agree with what encode_avi actually emits."""
+    import struct
+
+    frames = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    b = MM.encode_avi(frames)
+    fsize = 3 * 4 * 3
+    # chunk header directly before frame 0's pixels
+    cid, clen = struct.unpack_from("<4sI", b, MM.AVI_FRAME0_OFFSET - 8)
+    assert cid == b"00db" and clen == fsize
+    _, _, _, regions = MM.parse_avi(b)
+    assert regions == [
+        (MM.AVI_FRAME0_OFFSET, fsize),
+        (MM.AVI_FRAME0_OFFSET + fsize + MM.AVI_FRAME_GAP, fsize),
+    ]
+    # decoded pixel bytes are a permutation of the frame byte ranges —
+    # the invariant the driver oracle's nibble histogram relies on
+    raw = b[MM.AVI_FRAME0_OFFSET : MM.AVI_FRAME0_OFFSET + fsize]
+    dec = MM.decode_video(b)[0][0]
+    assert sorted(raw) == sorted(dec.tobytes())
+
+
+def test_avi_frame_selection_and_clamp():
+    """decode_video_frame picks the frame covering ts_ms at the stream's
+    own frame period and clamps out-of-range timestamps."""
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, size=(3, 4, 4, 3), dtype=np.uint8)
+    b = MM.encode_avi(frames, frame_ms=1000)
+    assert np.array_equal(MM.decode_video_frame(b, 0), frames[0])
+    assert np.array_equal(MM.decode_video_frame(b, 999), frames[0])
+    assert np.array_equal(MM.decode_video_frame(b, 1000), frames[1])
+    assert np.array_equal(MM.decode_video_frame(b, 2500), frames[2])
+    assert np.array_equal(MM.decode_video_frame(b, 99999), frames[2])  # clamp
+    assert np.array_equal(MM.decode_video_frame(b, -5), frames[0])     # clamp
+
+
+def test_avi_rejects_compressed_and_nonavi():
+    import struct
+
+    with pytest.raises(NotImplementedError):
+        MM.parse_avi(b"RIFF\x00\x00\x00\x00WAVE")  # RIFF but not AVI
+    # a '00dc' (compressed) frame chunk must raise, not mis-decode
+    frames = np.zeros((1, 2, 4, 3), dtype=np.uint8)
+    b = bytearray(MM.encode_avi(frames))
+    off = MM.AVI_FRAME0_OFFSET - 8
+    b[off : off + 4] = b"00dc"
+    with pytest.raises(NotImplementedError):
+        MM.parse_avi(bytes(b))
+    # width*3 not divisible by 4 → encoder refuses (DIB rows would pad)
+    with pytest.raises(ValueError):
+        MM.encode_avi(np.zeros((1, 2, 3, 3), dtype=np.uint8))
+    # non-AVI payload without fake falls through to NotImplementedError
+    with pytest.raises(NotImplementedError):
+        MM.decode_video_frame(b"not a video", 0)
+
+
+def test_fixture_avi_payloads_really_decode():
+    """Real-AVI fixture rows decode to the advertised dims/duration; the
+    opaque rows stay undecodable (honest fallback path)."""
+    pdf = MM.make_media_fixture(48, seed=42)
+    vids = pdf[pdf["kind"] == "video"]
+    real = vids[vids["width"].notna()]
+    opaque = vids[vids["width"].isna()]
+    assert len(real) > 0 and len(opaque) > 0
+    for row in real.itertuples():
+        frames, frame_ms = MM.decode_video(row.payload)
+        nf, h, w, _ = frames.shape
+        assert (w, h) == (row.width, row.height)
+        assert frame_ms == 1000 and nf * 1000 == row.duration_ms
+    for row in opaque.itertuples():
+        assert not MM.is_avi(row.payload)
+        with pytest.raises(NotImplementedError):
+            MM.decode_video(row.payload)
+
+
+def test_sample_video_frames_real_avi_content(spark):
+    """For a real-AVI video, sampled frame features must derive from the
+    DECODED pixels (nibble histogram of the true frame), not the fake
+    pseudo-frame — proving the distributed path routes through parse_avi."""
+    import pandas as pd
+
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, size=(2, 6, 8, 3), dtype=np.uint8)
+    payload = MM.encode_avi(frames, frame_ms=1000)
+    pdf = pd.DataFrame(
+        [(0, "https://x/v0", "video", payload, 8, 6, 2000)],
+        columns=["media_id", "url", "kind", "payload", "width", "height", "duration_ms"],
+    )
+    got = (
+        MM.sample_video_frames(spark.createDataFrame(pdf, schema=MM.MEDIA_SCHEMA))
+        .toPandas()
+        .sort_values("frame_ts_ms")
+    )
+    assert got.frame_ts_ms.tolist() == [0, 1000]
+    for ts, row in zip([0, 1000], got.itertuples()):
+        small = MM.resize_image(frames[ts // 1000], 8, 8)
+        hist = np.bincount(small.reshape(-1) >> 4, minlength=MM.FEATURE_DIM)
+        want = hist / np.linalg.norm(hist)
+        assert np.allclose(np.asarray(row.feature), want, atol=1e-6)
+
+
+def test_ppm_roundtrip_and_header_quirks():
+    """encode_ppm → decode_image is pixel-identical; the header parser
+    honors netpbm comments and rejects truncated / 16-bit payloads."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    b = MM.encode_ppm(img)
+    got = MM.decode_image(b)
+    assert np.array_equal(got, img)
+    # comments may appear anywhere in the header whitespace
+    commented = b"P6\n# a comment\n7 # trailing\n6\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(MM.decode_image(commented), img)
+    with pytest.raises(ValueError):
+        MM.decode_image(b[: len(b) - 4])  # truncated raster
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit samples
