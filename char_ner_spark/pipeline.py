@@ -514,6 +514,22 @@ def _alias_broadcast(spark: SparkSession, alias_pdf: pd.DataFrame):
     return bc, fp
 
 
+def _worker_alias_index(bc, fp):
+    """Worker-resident AliasIndex for a broadcast dictionary, cached by
+    content fingerprint (worker reuse makes the cache span tasks; the
+    fingerprint key keeps a re-used worker from probing a stale index —
+    ADVICE r1)."""
+    from .linking import AliasIndex
+
+    idx = _ALIAS_IDX_CACHE.get(fp)
+    if idx is None:
+        idx = AliasIndex(bc.value)
+        if len(_ALIAS_IDX_CACHE) >= 4:  # bound worker-resident indexes
+            _ALIAS_IDX_CACHE.clear()
+        _ALIAS_IDX_CACHE[fp] = idx
+    return idx
+
+
 def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
                          alias_pdf: pd.DataFrame) -> DataFrame:
     """Per-surface winners via a broadcast AliasIndex probe — ONE stage.
@@ -526,14 +542,7 @@ def best_links_broadcast(spark: SparkSession, surfaces: DataFrame,
     bc, fp = _alias_broadcast(spark, alias_pdf)  # fp ships in the closure
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .linking import AliasIndex
-
-        idx = _ALIAS_IDX_CACHE.get(fp)
-        if idx is None:
-            idx = AliasIndex(bc.value)
-            if len(_ALIAS_IDX_CACHE) >= 4:  # bound worker-resident indexes
-                _ALIAS_IDX_CACHE.clear()
-            _ALIAS_IDX_CACHE[fp] = idx
+        idx = _worker_alias_index(bc, fp)
         for pdf in batches:
             # vectorized probe: exact winners are precomputed dict lookups,
             # MinHash banding for the non-exact remainder is one batched
@@ -576,23 +585,63 @@ def link_pairs(mentions: DataFrame, alias_tables: dict[str, DataFrame],
     when applied per-mention. The mention joins hash raw strings instead.
     With ``alias_pdf`` within ``broadcast_max_rows`` (the north_rule
     default: a broadcastable dictionary) winners come from the one-stage
-    AliasIndex probe; a dictionary beyond the broadcast budget — or none
+    AliasIndex probe, FUSED with the raw-surface map: one job scans the
+    mention stream once (both surface columns exploded), distincts the raw
+    surfaces, JVM-normalizes each, and probes the broadcast index inside
+    the same mapInPandas — the round-4 shape (surfaces checkpoint →
+    norm-distinct shuffle → probe → join back → second checkpoint) spent
+    ~9 serial seconds per 400k-page unit on eager jobs this fusion
+    removes, the single largest Amdahl term in the 4-vs-16-core scaling
+    fit. Winners are identical: the probe is a pure function of the
+    normal form, so probing once per RAW surface instead of once per norm
+    changes work shape, not results (path-equality tested against the
+    distributed join). A dictionary beyond the broadcast budget — or none
     supplied — takes the distributed LSH join, which produces identical
-    winners (path-equality tested)."""
-    surfaces = mentions.select("surface").union(
-        mentions.select(F.col("next_surface").alias("surface")).filter(
-            F.col("next_surface").isNotNull()
+    winners."""
+    surfaces = (
+        mentions.select(
+            F.explode(F.array("surface", "next_surface")).alias("surface")
         )
-    ).distinct()
-    surfaces = surfaces.localCheckpoint()  # feeds the probe AND the raw map
+        .filter(F.col("surface").isNotNull())
+        .distinct()
+    )
     if alias_pdf is not None and len(alias_pdf) <= broadcast_max_rows:
-        best = best_links_broadcast(mentions.sparkSession, surfaces, alias_pdf)
+        bc, fp = _alias_broadcast(mentions.sparkSession, alias_pdf)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            idx = _worker_alias_index(bc, fp)
+            for pdf in batches:
+                hits = idx.link_batch(
+                    pdf["surface_norm"].tolist(), already_norm=True
+                )
+                keep = [i for i, h in enumerate(hits) if h is not None]
+                yield pd.DataFrame(
+                    {
+                        "surface": pdf["surface"].iloc[keep].to_numpy(),
+                        "entity_id": pd.array(
+                            [hits[i][0] for i in keep], dtype="int64"
+                        ),
+                        "link_score": pd.array(
+                            [hits[i][1] for i in keep], dtype="float64"
+                        ),
+                    }
+                )
+
+        raw_map = (
+            surfaces.withColumn("surface_norm", _norm_col(F.col("surface")))
+            .mapInPandas(
+                gen,
+                schema="surface string, entity_id bigint, link_score double",
+            )
+            .localCheckpoint()
+        )
     else:
         # dictionary beyond broadcast budget (or none supplied): the
         # distributed banded-LSH join path — identical winners by the
         # best_links ≡ best_links_broadcast path-equality contract
+        surfaces = surfaces.localCheckpoint()  # feeds the LSH join AND the raw map
         best = best_links(surfaces, alias_tables)
-    raw_map = _raw_winner_map(surfaces, best).localCheckpoint()
+        raw_map = _raw_winner_map(surfaces, best).localCheckpoint()
     # materialized ONCE — it feeds two broadcast joins, and broadcasting a
     # plan re-executes it per join otherwise. Lifetime: these per-call
     # localCheckpoint caches (surfaces + raw_map, both tiny distinct-surface
