@@ -174,9 +174,14 @@ def _word_class_hash(word: str) -> int:
     return 1 + (h[0] % (NC - 1))
 
 
-def feature_bias(text: str) -> np.ndarray:
+def feature_bias(text: str,
+                 offs: list[tuple[int, int]] | None = None) -> np.ndarray:
     """Hand-crafted emission bias [T, NC]: capitalized multi-char alpha words
-    push toward an entity class; everything else pushes toward O."""
+    push toward an entity class; everything else pushes toward O.
+
+    ``offs`` may carry precomputed :func:`spans.word_offsets` output (the
+    tagger hot loop computes it once per sentence and shares it here and
+    with span extraction)."""
     T = len(text)
     bias = np.zeros((T, NC), dtype=np.float32)
     bias[:, 0] = _BIAS_O
@@ -184,7 +189,7 @@ def feature_bias(text: str) -> np.ndarray:
     # capitalized-word cores; consecutive ones form one entity run (the
     # behavior a trained char-LSTM exhibits on multi-word names)
     cores: list[tuple[int, int, str, bool]] = []  # (core_start, core_end, core, ends_run)
-    for s, e in S.word_offsets(text):
+    for s, e in (S.word_offsets(text) if offs is None else offs):
         wtext = text[s:e]
         core = wtext.strip(punct)
         if len(core) >= 2 and core[0].isupper() and core[1:].islower() and core.isalpha():
@@ -282,6 +287,54 @@ def viterbi_batch(logits: np.ndarray, boundary: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _path_spans(text: str, path_list: list[int],
+                offs: list[tuple[int, int]]) -> list[tuple[int, int, str]]:
+    """Char spans straight from the integer Viterbi path — equivalent to
+    ``S.char_spans(text, [CLASSES[k] for k in path_list])`` (equivalence
+    property-tested in tests/test_tagger_oracle.py).
+
+    Fast path: the word-consistency constraint (:func:`viterbi_batch`
+    boundary mask) makes the class constant inside every word, so the
+    per-word majority vote collapses to ``path[word_start]`` and the whole
+    extraction runs on small int comparisons instead of per-char string
+    dict counting. Any sentence violating constancy (a caller feeding a
+    non-Viterbi path) delegates to the generic string implementation, so
+    outputs are bitwise-identical by construction either way."""
+    word_cls: list[int] = []
+    for s, e in offs:
+        c0 = path_list[s]
+        for i in range(s + 1, e):
+            if path_list[i] != c0:
+                # not word-constant → exact generic fallback
+                return S.char_spans(text, [CLASSES[k] for k in path_list])
+        word_cls.append(c0)
+    spans: list[tuple[int, int, int]] = []
+    cur: tuple[int, int, int] | None = None  # open (begin, end, class)
+    for k, (s, e) in enumerate(offs):
+        c = word_cls[k]
+        if c == 0:  # OUT
+            if cur is not None:
+                spans.append(cur)
+                cur = None
+            continue
+        joined = False
+        if k > 0 and word_cls[k - 1] == c:
+            # std scheme: merge only when the inter-word gap carries the
+            # class too (space-bridged entity) — mirrors
+            # char_classes_to_word_tags + bio_spans exactly
+            pe = offs[k - 1][1]
+            joined = all(path_list[i] == c for i in range(pe, s))
+        if joined and cur is not None:
+            cur = (cur[0], e, c)
+        else:
+            if cur is not None:
+                spans.append(cur)
+            cur = (s, e, c)
+    if cur is not None:
+        spans.append(cur)
+    return [(b, e, CLASSES[c]) for b, e, c in spans]
+
+
 def tag_sentences(texts: list[str], lang: str,
                   weights: dict[str, np.ndarray] | None = None
                   ) -> list[list[tuple[int, int, str, float]]]:
@@ -335,6 +388,9 @@ def tag_sentences(texts: list[str], lang: str,
         ids = np.zeros((n, bucket), dtype=np.int64)
         mask = np.zeros((n, bucket), dtype=bool)
         boundary = np.zeros((n, bucket), dtype=bool)
+        # word offsets computed ONCE per sentence here and shared with the
+        # bias featurizer and span extraction (was 3 identical scans)
+        offs_rows: list[list[tuple[int, int]]] = []
         for row, i in enumerate(idxs):
             text = texts[i]
             L = len(text)
@@ -342,17 +398,19 @@ def tag_sentences(texts: list[str], lang: str,
             mask[row, :L] = True
             sp = np.fromiter((c.isspace() for c in text), dtype=bool, count=L)
             boundary[row, 1:L] = sp[1:] | sp[:-1]
+            offs_rows.append(S.word_offsets(text))
         lg = bilstm_logits(ids, w, mask) * _LOGIT_SCALE
         for row, i in enumerate(idxs):
             L = len(texts[i])
-            lg[row, :L] += feature_bias(texts[i])
+            lg[row, :L] += feature_bias(texts[i], offs=offs_rows[row])
         lg *= mask[:, :, None]  # zero pad steps so DP carries scores through
         paths = viterbi_batch(lg, boundary, w["trans"])
         for row, i in enumerate(idxs):
             text = texts[i]
-            path = paths[row, : len(text)]
-            classes = [CLASSES[k] for k in path]
-            for b, e, cls in S.char_spans(text, classes):
+            L = len(text)
+            span_list = _path_spans(text, paths[row, :L].tolist(), offs_rows[row])
+            mrow: np.ndarray | None = None  # per-char margin, built on demand
+            for b, e, cls in span_list:
                 # trim edge punctuation ("Alice." → "Alice")
                 while b < e and text[b] in "\"'.,;:!?()[]":
                     b += 1
@@ -360,8 +418,10 @@ def tag_sentences(texts: list[str], lang: str,
                     e -= 1
                 if b >= e:
                     continue
-                seg = lg[row, b:e]
-                margin = float(np.mean(seg.max(axis=1) - seg[:, 0]))
+                if mrow is None:
+                    seg = lg[row, :L]
+                    mrow = seg.max(axis=1) - seg[:, 0]
+                margin = float(np.mean(mrow[b:e]))
                 results[i].append((b, e, cls, round(margin, 4)))
     for i, j in dup_of.items():
         results[i] = list(results[j])

@@ -96,3 +96,34 @@ def test_oracle_end_to_end_produces_triples():
     # deterministic: second run identical
     out2 = run_oracle(pages, alias)
     assert out["triples"].equals(out2["triples"])
+
+
+def test_path_spans_equals_generic_char_spans():
+    """_path_spans (int-path fast extraction) must be bitwise-equivalent to
+    the generic string pipeline char_spans(text, classes) — on Viterbi-style
+    word-constant paths (fast path) AND arbitrary paths (fallback path)."""
+    import random
+
+    from char_ner_spark import spans as S
+
+    rng = random.Random(1234)
+    alphabet = "ab cD  Ef.g,» \t"
+    for trial in range(800):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        offs = S.word_offsets(text)
+        L = len(text)
+        if trial % 2 == 0:
+            # word-constant (what viterbi_batch's boundary mask guarantees)
+            path = [0] * L
+            for s, e in offs:
+                c = rng.randint(0, TG.NC - 1)
+                for i in range(s, e):
+                    path[i] = c
+            for i in range(L):
+                if text[i].isspace():
+                    path[i] = rng.randint(0, TG.NC - 1)
+        else:
+            path = [rng.randint(0, TG.NC - 1) for _ in range(L)]
+        fast = TG._path_spans(text, path, offs)
+        slow = S.char_spans(text, [TG.CLASSES[k] for k in path])
+        assert fast == slow, (text, path)
