@@ -47,6 +47,12 @@ PAGES_PER_SF = 1_000_000
 #: window classifier shared by the per-sample ledger and the retry loop
 HEALTHY_TPS = 12_000
 DEGRADED_TPS = 6_000
+#: ngram_jaccard_pairs healthy ceiling at sf0.1 — the second-biggest suite
+#: leg (~8s in healthy windows per the r4 ledger). Best-of-2 shields the KG
+#: leg from a mid-suite noise spike better than the shorter relational legs,
+#: so a window can leave triples/sec in the healthy band while doubling the
+#: rest of the suite; >1.5x the healthy ngram cost marks those windows mixed
+HEALTHY_NGRAM_SEC = 12.0
 
 
 def sf_of(sf_dir: str) -> float:
@@ -58,13 +64,19 @@ def sf_of(sf_dir: str) -> float:
 
 
 def classify_window(result: dict) -> str:
-    """healthy / mixed / degraded from KG throughput — only calibrated at
-    sf0.1 (the driver's scale); other sf values get 'n/a'."""
+    """healthy / mixed / degraded from KG throughput plus the ngram leg —
+    only calibrated at sf0.1 (the driver's scale); other sf values get
+    'n/a'. 'healthy' requires BOTH signals in band: a noise spike that
+    misses the (best-of-2-shielded) KG leg still shows up in the longest
+    single-pass relational leg."""
     tps = result.get("triples_per_sec") or 0.0
     if abs(result.get("sf", 0) - 0.1) < 1e-9:
-        if tps >= HEALTHY_TPS:
-            return "healthy"
-        return "mixed" if tps >= DEGRADED_TPS else "degraded"
+        if tps < HEALTHY_TPS:
+            return "mixed" if tps >= DEGRADED_TPS else "degraded"
+        ngram = (result.get("queries") or {}).get("ngram_jaccard_pairs")
+        if ngram is not None and ngram > HEALTHY_NGRAM_SEC:
+            return "mixed (ngram leg over healthy ceiling)"
+        return "healthy"
     return f"n/a (sf={result.get('sf')})"
 
 
@@ -109,6 +121,7 @@ def record_sample(result: dict, loadavg_start: tuple) -> str:
             ),
             "suite_sec": result["value"],
             "kg_pipeline_sec": result["queries"]["kg_pipeline"],
+            "ngram_sec": result["queries"].get("ngram_jaccard_pairs"),
             "triples_per_sec": result.get("triples_per_sec") or 0.0,
             "loadavg_start": [round(x, 2) for x in loadavg_start],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -195,21 +208,22 @@ def run_suite(spark, sf: float, repeats: int) -> dict:
 def sample_until_healthy(run_fn, record_fn, window_retries: int) -> dict:
     """Window-aware sampling: rerun the whole suite while the completed run
     classifies mixed/degraded and retry budget remains; return the best
-    sample (highest triples/sec — healthy windows always dominate since the
-    classification IS a throughput band). Annotates the result with its
-    window class, attempt count, and ``retries_exhausted`` when no healthy
-    window was hit. Pure control flow — unit-tested without Spark."""
+    sample (healthy-classified first, then highest triples/sec — the ngram
+    signal can mark a high-tps sample mixed, so tps alone is not the rank).
+    Annotates the result with its window class, attempt count, and
+    ``retries_exhausted`` when no healthy window was hit. Pure control flow
+    — unit-tested without Spark."""
     best: dict | None = None
     best_window = ""
+    best_key: tuple = ()
     attempts = 0
     while True:
         result = run_fn()
         window = record_fn(result)
         attempts += 1
-        if best is None or (result.get("triples_per_sec") or 0.0) > (
-            best.get("triples_per_sec") or 0.0
-        ):
-            best, best_window = result, window
+        key = (window == "healthy", result.get("triples_per_sec") or 0.0)
+        if best is None or key > best_key:
+            best, best_window, best_key = result, window, key
         if best_window == "healthy" or not best_window.startswith(
             ("mixed", "degraded")
         ):

@@ -23,6 +23,47 @@ def test_classify_window_bands():
     assert bench.classify_window(_r(100, sf=0.01)).startswith("n/a")
 
 
+def test_classify_window_ngram_signal():
+    """A window can spare the (best-of-2-shielded) KG leg while doubling the
+    relational legs — healthy requires the ngram leg in band too."""
+    ok = _r(20_000)
+    ok["queries"] = {"ngram_jaccard_pairs": bench.HEALTHY_NGRAM_SEC}
+    assert bench.classify_window(ok) == "healthy"
+    noisy = _r(20_000)
+    noisy["queries"] = {"ngram_jaccard_pairs": bench.HEALTHY_NGRAM_SEC + 0.1}
+    assert bench.classify_window(noisy).startswith("mixed")
+    # ngram signal never upgrades a low-tps sample
+    slow = _r(5_000)
+    slow["queries"] = {"ngram_jaccard_pairs": 1.0}
+    assert bench.classify_window(slow) == "degraded"
+    # missing queries dict (unit harnesses, partial samples) -> tps-only
+    assert bench.classify_window(_r(20_000)) == "healthy"
+
+
+def test_retry_prefers_healthy_over_higher_tps_mixed():
+    """A later healthy sample must win over an earlier mixed sample even when
+    the mixed one had higher triples/sec (its ngram leg was the problem)."""
+    fast_mixed = _r(30_000)
+    fast_mixed["queries"] = {"ngram_jaccard_pairs": 25.0}
+    healthy = _r(20_000)
+    healthy["queries"] = {"ngram_jaccard_pairs": 8.0}
+    it = iter([fast_mixed, healthy])
+    log = []
+
+    def run_fn():
+        return next(it)
+
+    def record_fn(result):
+        w = bench.classify_window(result)
+        log.append(w)
+        return w
+
+    out = bench.sample_until_healthy(run_fn, record_fn, window_retries=1)
+    assert out["window"] == "healthy" and out["suite_attempts"] == 2
+    assert out["triples_per_sec"] == 20_000
+    assert "retries_exhausted" not in out
+
+
 def _harness(samples):
     """Build (run_fn, record_fn, log) over a scripted tps sequence."""
     it = iter(samples)
