@@ -82,7 +82,11 @@ def _lstm_dir(x: np.ndarray, mask: np.ndarray, Wx: np.ndarray, Wh: np.ndarray,
     At padded steps the state carries through unchanged (state stays exactly
     0 until the backward pass reaches a row's valid suffix), so each row's
     hidden stream is bitwise-identical to processing that row unpadded —
-    batch composition and bucket padding cannot perturb results."""
+    batch composition and bucket padding cannot perturb results.
+
+    This is the REFERENCE implementation: the hot path runs both directions
+    through :func:`_lstm_bidir` (half the NumPy dispatch), and
+    tests/test_tagger_kernels.py pins the two bitwise-equal."""
     n, T, _ = x.shape
     H = Wh.shape[0]
     pre_all = x.reshape(n * T, -1) @ Wx  # one big GEMM for the input path
@@ -126,6 +130,70 @@ def _lstm_dir(x: np.ndarray, mask: np.ndarray, Wx: np.ndarray, Wh: np.ndarray,
     return out
 
 
+def _lstm_bidir(x: np.ndarray, mask: np.ndarray,
+                Wxf: np.ndarray, Whf: np.ndarray, bf: np.ndarray,
+                Wxb: np.ndarray, Whb: np.ndarray, bb: np.ndarray) -> np.ndarray:
+    """Both directions of one bi-LSTM layer in a single step loop →
+    [n, T, 2H] (fw in [..:H], bw in [..H:], matching the former
+    ``concatenate([fw, bw])`` layout bitwise — pinned by
+    tests/test_tagger_kernels.py against :func:`_lstm_dir`).
+
+    At H=16 the per-step arrays are a few KB, so the loop cost is NumPy
+    dispatch, not FLOPs (profiled: ~70% of the tag stage). Stacking the two
+    directions' states as [2, n, H] halves the dispatch count: one batched
+    ``np.matmul`` against [2, H, 4H] recurrent weights and one set of
+    elementwise ops advance fw at time t and bw at time T-1-t together.
+    The input projections of both directions fuse into one [n·T, Din] @
+    [Din, 8H] GEMM. Masked-step carry-through semantics are identical to
+    :func:`_lstm_dir` (state unchanged at padded steps; outputs written
+    post-carry)."""
+    n, T, _ = x.shape
+    H = Whf.shape[0]
+    pre = x.reshape(n * T, -1) @ np.concatenate([Wxf, Wxb], axis=1)
+    pre += np.concatenate([bf, bb])
+    pre = pre.reshape(n, T, 8 * H)
+    Wh2 = np.stack([Whf, Whb])  # [2, H, 4H]
+    h = np.zeros((2, n, H), dtype=np.float32)
+    c = np.zeros((2, n, H), dtype=np.float32)
+    out = np.empty((n, T, 2 * H), dtype=np.float32)
+    g = np.empty((2, n, 4 * H), dtype=np.float32)
+    c_new = np.empty((2, n, H), dtype=np.float32)
+    h_new = np.empty((2, n, H), dtype=np.float32)
+    tmp = np.empty((2, n, H), dtype=np.float32)
+    all_valid = bool(mask.all())
+    for t in range(T):
+        tb = T - 1 - t
+        np.matmul(h, Wh2, out=g)
+        g[0] += pre[:, t, : 4 * H]
+        g[1] += pre[:, tb, 4 * H :]
+        gates = g[:, :, : 3 * H]  # i|f|o fused sigmoid, in place
+        np.negative(gates, out=gates)
+        np.exp(gates, out=gates)
+        gates += 1.0
+        np.reciprocal(gates, out=gates)
+        i, f, o = g[:, :, :H], g[:, :, H : 2 * H], g[:, :, 2 * H : 3 * H]
+        u = g[:, :, 3 * H :]
+        np.tanh(u, out=u)
+        np.multiply(f, c, out=c_new)
+        np.multiply(i, u, out=tmp)
+        c_new += tmp
+        np.tanh(c_new, out=tmp)
+        np.multiply(o, tmp, out=h_new)
+        if all_valid:
+            c, c_new = c_new, c
+            h, h_new = h_new, h
+        else:
+            mf = mask[:, t : t + 1]
+            mb = mask[:, tb : tb + 1]
+            np.copyto(c[0], c_new[0], where=mf)
+            np.copyto(h[0], h_new[0], where=mf)
+            np.copyto(c[1], c_new[1], where=mb)
+            np.copyto(h[1], h_new[1], where=mb)
+        out[:, t, :H] = h[0]
+        out[:, tb, H:] = h[1]
+    return out
+
+
 def bilstm_logits(char_ids: np.ndarray, w: dict[str, np.ndarray],
                   mask: np.ndarray | None = None) -> np.ndarray:
     """Padded batch of char ids [n, T] (+ validity mask) → logits [n, T, NC]."""
@@ -133,11 +201,32 @@ def bilstm_logits(char_ids: np.ndarray, w: dict[str, np.ndarray],
         mask = np.ones(char_ids.shape, dtype=bool)
     x = w["emb"][char_ids]  # [n, T, D]
     for layer in range(LAYERS):
-        fw = _lstm_dir(x, mask, w[f"Wx{layer}fw"], w[f"Wh{layer}fw"], w[f"b{layer}fw"], False)
-        bw = _lstm_dir(x, mask, w[f"Wx{layer}bw"], w[f"Wh{layer}bw"], w[f"b{layer}bw"], True)
-        x = np.concatenate([fw, bw], axis=2)
+        x = _lstm_bidir(
+            x, mask,
+            w[f"Wx{layer}fw"], w[f"Wh{layer}fw"], w[f"b{layer}fw"],
+            w[f"Wx{layer}bw"], w[f"Wh{layer}bw"], w[f"b{layer}bw"],
+        )
     n, T, _ = x.shape
-    return (x.reshape(n * T, -1) @ w["Wout"] + w["bout"]).reshape(n, T, NC)
+    flat = x.reshape(n * T, -1)
+    m = flat.shape[0]
+    # Pad the row count to a multiple of the sgemm micro-kernel width: for
+    # this narrow output (NC=5 columns) BLAS computes m-tail rows (m % 8)
+    # with a cleanup kernel whose k-accumulation order differs from the main
+    # kernel, making a row's logits depend on its POSITION in the batch —
+    # the one shape in the model with that behavior (the 64/128-column
+    # GEMMs and the step matmuls are position- and m-size-stable at every
+    # tested shape). Zero-row padding to a multiple of 32 pins every real
+    # row to the main kernel, making logits a pure per-row function of
+    # content — the property the cross-parallelism determinism tests pin
+    # (tests/test_tagger_kernels.py).
+    pad = (-m) % 32
+    if pad:
+        flat = np.concatenate(
+            [flat, np.zeros((pad, flat.shape[1]), dtype=np.float32)]
+        )
+    out = (flat @ w["Wout"])[:m]
+    out += w["bout"]
+    return out.reshape(n, T, NC)
 
 
 def save_weights(lang: str, out_dir: str) -> str:
