@@ -1,0 +1,419 @@
+"""Supervised training for the char-level BiLSTM tagger (SURVEY §2 A3/O2/M3).
+
+Re-expresses the reference's training loop semantics (ref:src/lazrnn.py
+RDNN ``train`` — per-timestep softmax cross-entropy over the stacked
+bi-LSTM outputs; ref:src/exper.py main loop — mini-batch SGD with a fresh
+sentence shuffle every epoch and the epoch's mean cost logged;
+reconstructed, SURVEY §0/§2.9). Viterbi decoding stays a separate
+inference-time stage exactly as in the reference (ref:src/decoder.py
+operates on the trained model's emissions; the transition prior is fixed,
+not learned).
+
+Spark-first shape — each piece maps to a §2 inventory row:
+
+- **O2 epoch shuffle**: deterministic, state-free — mini-batch membership
+  is ``pmod(xxhash64(sent_id, epoch, seed), n_batches)``, computed
+  JVM-side. No driver RNG to checkpoint: any (epoch, batch) is
+  reconstructible, so a resumed job replays the identical schedule.
+- **M3 train step**: synchronous mini-batch SGD. One Spark job per batch
+  computes the EXACT batch gradient: executors emit per-sentence
+  gradients quantized to int64 fixed-point (``GRAD_SCALE``), and int64
+  sums are associative — the batch gradient (hence the whole training
+  trajectory) is bitwise identical under ANY partitioning of the input,
+  the same cross-parallelism determinism contract the inference engine
+  pins (tagger.py design notes). Scale note: the model is ~19k params
+  (~150 KB), so per-partition partials are one short array<long> row and
+  the driver-side reduce is O(partitions); at 10^12 docs the same shape
+  holds — gradient width is model-, not data-, sized, and `treeAggregate`
+  semantics arrive for free because int64 addition commutes exactly.
+- **A3 epoch cost mean**: the per-sentence loss rides the same int64
+  aggregation (exact sum of quantized per-sentence losses), so the
+  per-epoch mean cost ledger (:func:`costs_table`) is also
+  partition-independent.
+
+The float64 per-sentence forward/backward lives here, deliberately
+separate from the fp32 inference hot path (tagger.py): training is a
+correctness/completeness surface — BASELINE.json's north rule scopes the
+100-TB hot path to inference — so this module optimizes for verifiable
+gradients (float64, per-sentence, numerically gradcheck-able in
+tests/test_training.py) over batch throughput. Trained weights flow back
+into the inference engine through the existing S3 surface
+(:func:`tagger.save_weights` npz layout / ``tag_sentences(weights=...)``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import spans as S
+from .tagger import CLASSES, EMB_DIM, HIDDEN, LAYERS, NC, VOCAB, model_weights
+
+#: fixed-point scale for gradient/loss quantization. Per-sentence gradient
+#: components are O(1); at 2**28 a one-ULP-of-float64 wobble in a component
+#: of magnitude <= 8 stays far below half a quantum, so equal sentences
+#: always quantize equally, and int64 headroom allows ~2**35 sentences per
+#: batch before overflow could matter.
+GRAD_SCALE = float(2**28)
+
+#: trainable parameter names in a fixed, layout-defining order ("trans" is
+#: the reference's fixed decode prior — not trained, matching
+#: ref:src/decoder.py where D8 is hand-set, not a learned CRF).
+PARAM_KEYS: tuple[str, ...] = tuple(
+    ["emb"]
+    + [
+        f"{kind}{layer}{d}"
+        for layer in range(LAYERS)
+        for d in ("fw", "bw")
+        for kind in ("Wx", "Wh", "b")
+    ]
+    + ["Wout", "bout"]
+)
+
+
+def init_weights(lang: str = "en", seed_delta: int = 0) -> dict[str, np.ndarray]:
+    """Float64 master copy of the seeded per-language init (the training
+    loop keeps float64 masters; :func:`finalize_weights` casts back to the
+    inference engine's fp32 layout)."""
+    w32 = model_weights(lang)
+    w = {k: v.astype(np.float64) for k, v in w32.items()}
+    if seed_delta:
+        rng = np.random.RandomState(seed_delta)
+        for k in PARAM_KEYS:
+            w[k] = w[k] + rng.normal(0, 1e-3, w[k].shape)
+    return w
+
+
+def finalize_weights(w: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Training masters → the fp32 dict :func:`tagger.tag_sentences` and
+    :func:`tagger.save_weights` consume (includes the fixed ``trans``)."""
+    return {k: v.astype(np.float32) for k, v in w.items()}
+
+
+def flatten_grads(g: dict[str, np.ndarray]) -> np.ndarray:
+    return np.concatenate([g[k].ravel() for k in PARAM_KEYS])
+
+
+def param_sizes(w: dict[str, np.ndarray]) -> list[tuple[str, tuple[int, ...]]]:
+    return [(k, w[k].shape) for k in PARAM_KEYS]
+
+
+def unflatten(vec: np.ndarray, w: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    pos = 0
+    for k in PARAM_KEYS:
+        n = w[k].size
+        out[k] = vec[pos : pos + n].reshape(w[k].shape)
+        pos += n
+    return out
+
+
+# ---------------------------------------------------------------------------
+# float64 per-sentence forward/backward (BPTT)
+# ---------------------------------------------------------------------------
+
+
+def _lstm_dir_fwd(x: np.ndarray, Wx: np.ndarray, Wh: np.ndarray, b: np.ndarray,
+                  reverse: bool) -> tuple[np.ndarray, dict]:
+    """One unmasked LSTM direction over a single sentence. x: [T, Din] →
+    out [T, H] plus the cache BPTT needs. Gate math mirrors
+    :func:`tagger._lstm_dir` exactly (i|f|o sigmoid, u tanh, no peepholes);
+    per-sentence training never pads, so the masked carry-through branch
+    has no training counterpart."""
+    T = x.shape[0]
+    H = Wh.shape[0]
+    pre = x @ Wx + b  # [T, 4H]
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    h = np.zeros(H)
+    c = np.zeros(H)
+    out = np.empty((T, H))
+    gates = np.empty((T, 4 * H))  # post-activation i|f|o|u per step
+    cells = np.empty((T, H))      # c_t per step
+    hprev = np.empty((T, H))      # h_{t-1} per step (input to the step)
+    cprev = np.empty((T, H))      # c_{t-1} per step
+    for t in steps:
+        hprev[t] = h
+        cprev[t] = c
+        g = pre[t] + h @ Wh
+        iog = 1.0 / (1.0 + np.exp(-g[: 3 * H]))
+        u = np.tanh(g[3 * H :])
+        i, f, o = iog[:H], iog[H : 2 * H], iog[2 * H :]
+        c = f * c + i * u
+        h = o * np.tanh(c)
+        gates[t, :H], gates[t, H : 2 * H] = i, f
+        gates[t, 2 * H : 3 * H], gates[t, 3 * H :] = o, u
+        cells[t] = c
+        out[t] = h
+    cache = {"x": x, "Wx": Wx, "Wh": Wh, "gates": gates, "cells": cells,
+             "hprev": hprev, "cprev": cprev, "reverse": reverse}
+    return out, cache
+
+
+def _lstm_dir_bwd(dout: np.ndarray, cache: dict
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """BPTT through one direction. dout: [T, H] → (dx, dWx, dWh, db)."""
+    x, Wx, Wh = cache["x"], cache["Wx"], cache["Wh"]
+    gates, cells = cache["gates"], cache["cells"]
+    hprev, cprev = cache["hprev"], cache["cprev"]
+    T = x.shape[0]
+    H = Wh.shape[0]
+    # backward visits steps in the reverse of the forward order
+    steps = range(T) if cache["reverse"] else range(T - 1, -1, -1)
+    dpre = np.zeros((T, 4 * H))
+    dWh = np.zeros_like(Wh)
+    dh = np.zeros(H)
+    dc = np.zeros(H)
+    for t in steps:
+        i, f = gates[t, :H], gates[t, H : 2 * H]
+        o, u = gates[t, 2 * H : 3 * H], gates[t, 3 * H :]
+        tc = np.tanh(cells[t])
+        dh_t = dout[t] + dh
+        do = dh_t * tc
+        dc_t = dc + dh_t * o * (1.0 - tc * tc)
+        di = dc_t * u
+        df = dc_t * cprev[t]
+        du = dc_t * i
+        dg = np.empty(4 * H)
+        dg[:H] = di * i * (1.0 - i)
+        dg[H : 2 * H] = df * f * (1.0 - f)
+        dg[2 * H : 3 * H] = do * o * (1.0 - o)
+        dg[3 * H :] = du * (1.0 - u * u)
+        dpre[t] = dg
+        dWh += np.outer(hprev[t], dg)
+        dh = dg @ Wh.T
+        dc = dc_t * f
+    dx = dpre @ Wx.T
+    dWx = x.T @ dpre
+    db = dpre.sum(axis=0)
+    return dx, dWx, dWh, db
+
+
+def forward_sentence(ids: np.ndarray, w: dict[str, np.ndarray]
+                     ) -> tuple[np.ndarray, list]:
+    """Char ids [T] → logits [T, NC] (+ caches). Same dataflow as
+    :func:`tagger.bilstm_logits` in float64 for one unpadded sentence."""
+    x = w["emb"][ids]
+    caches = []
+    for layer in range(LAYERS):
+        of, cf = _lstm_dir_fwd(
+            x, w[f"Wx{layer}fw"], w[f"Wh{layer}fw"], w[f"b{layer}fw"], False)
+        ob, cb = _lstm_dir_fwd(
+            x, w[f"Wx{layer}bw"], w[f"Wh{layer}bw"], w[f"b{layer}bw"], True)
+        caches.append((cf, cb))
+        x = np.concatenate([of, ob], axis=1)
+    logits = x @ w["Wout"] + w["bout"]
+    caches.append(x)  # final layer input to Wout
+    return logits, caches
+
+
+def ce_loss(logits: np.ndarray, labels: np.ndarray
+            ) -> tuple[float, np.ndarray]:
+    """Per-char softmax cross-entropy (the reference's training objective,
+    ref:src/lazrnn.py categorical_crossentropy). Returns (sum over chars,
+    dlogits)."""
+    m = logits.max(axis=1, keepdims=True)
+    z = logits - m
+    ez = np.exp(z)
+    sez = ez.sum(axis=1, keepdims=True)
+    logp = z - np.log(sez)
+    T = logits.shape[0]
+    loss = -float(logp[np.arange(T), labels].sum())
+    dlogits = ez / sez
+    dlogits[np.arange(T), labels] -= 1.0
+    return loss, dlogits
+
+
+def sentence_grad(ids: np.ndarray, labels: np.ndarray,
+                  w: dict[str, np.ndarray]
+                  ) -> tuple[float, dict[str, np.ndarray]]:
+    """Loss + full parameter gradient for ONE sentence. Per-sentence (not
+    batched) on purpose: every cross-row float reduction is confined to a
+    single sentence, so a sentence's gradient bits depend only on
+    (ids, labels, weights) — the property the int64 aggregation needs."""
+    logits, caches = forward_sentence(ids, w)
+    loss, dlogits = ce_loss(logits, labels)
+    g: dict[str, np.ndarray] = {}
+    xlast = caches[-1]
+    g["Wout"] = xlast.T @ dlogits
+    g["bout"] = dlogits.sum(axis=0)
+    dx = dlogits @ w["Wout"].T
+    H = HIDDEN
+    for layer in range(LAYERS - 1, -1, -1):
+        cf, cb = caches[layer]
+        dxf, dWxf, dWhf, dbf = _lstm_dir_bwd(dx[:, :H], cf)
+        dxb, dWxb, dWhb, dbb = _lstm_dir_bwd(dx[:, H:], cb)
+        g[f"Wx{layer}fw"], g[f"Wh{layer}fw"], g[f"b{layer}fw"] = dWxf, dWhf, dbf
+        g[f"Wx{layer}bw"], g[f"Wh{layer}bw"], g[f"b{layer}bw"] = dWxb, dWhb, dbb
+        dx = dxf + dxb
+    demb = np.zeros((VOCAB, EMB_DIM))
+    np.add.at(demb, ids, dx)
+    g["emb"] = demb
+    return loss, g
+
+
+# ---------------------------------------------------------------------------
+# exact distributed aggregation (int64 fixed point)
+# ---------------------------------------------------------------------------
+
+
+def _quantize(vec: np.ndarray) -> np.ndarray:
+    return np.rint(vec * GRAD_SCALE).astype(np.int64)
+
+
+def _partial_grads_fn(w: dict[str, np.ndarray]):
+    """mapInPandas worker: per-partition int64 sums of quantized
+    per-sentence gradients + losses + char counts. One output row per
+    input batch — int64 addition makes the cross-partition (and
+    cross-batch) sum exact and order-free."""
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_params = int(sum(w[k].size for k in PARAM_KEYS))
+            acc = np.zeros(n_params, dtype=np.int64)
+            loss_fp = 0
+            n_chars = 0
+            for text, labels in zip(pdf["text"], pdf["labels"]):
+                if not text:
+                    continue
+                ids = _encode(text)
+                lab = np.asarray(labels, dtype=np.int64)
+                loss, g = sentence_grad(ids, lab, w)
+                acc += _quantize(flatten_grads(g))
+                loss_fp += int(round(loss * GRAD_SCALE))
+                n_chars += len(text)
+            yield pd.DataFrame({
+                "grad_fp": [acc.tolist()],
+                "loss_fp": [loss_fp],
+                "n_chars": [n_chars],
+            })
+    return go
+
+
+def _encode(text: str) -> np.ndarray:
+    from .tagger import encode_chars
+
+    return encode_chars(text)
+
+
+_PARTIAL_SCHEMA = "grad_fp array<long>, loss_fp long, n_chars long"
+
+
+def batch_gradient(batch_df: DataFrame, w: dict[str, np.ndarray]
+                   ) -> tuple[np.ndarray, float, int]:
+    """Exact gradient sum over ``batch_df(text, labels)`` — one Spark job.
+    Returns (grad_sum float64 vector, loss_sum, n_chars); bitwise
+    partitioning-independent (int64 fixed-point partials)."""
+    rows = (
+        batch_df.select("text", "labels")
+        .mapInPandas(_partial_grads_fn(w), schema=_PARTIAL_SCHEMA)
+        .collect()
+    )
+    n_params = int(sum(w[k].size for k in PARAM_KEYS))
+    acc = np.zeros(n_params, dtype=np.int64)
+    loss_fp = 0
+    n_chars = 0
+    for r in rows:
+        acc += np.asarray(r["grad_fp"], dtype=np.int64)
+        loss_fp += r["loss_fp"]
+        n_chars += r["n_chars"]
+    return acc.astype(np.float64) / GRAD_SCALE, loss_fp / GRAD_SCALE, n_chars
+
+
+# ---------------------------------------------------------------------------
+# epoch schedule (O2) + training loop (M3) + cost ledger (A3)
+# ---------------------------------------------------------------------------
+
+
+def with_batch_col(sents: DataFrame, epoch: int, n_batches: int,
+                   seed: int = 42) -> DataFrame:
+    """O2 epoch shuffle, Spark-first: membership = pmod(xxhash64(sent_id,
+    epoch, seed), n_batches). A new epoch re-deals every sentence to a new
+    mini-batch (the reference's per-epoch shuffle), deterministically and
+    JVM-side — no collected permutation, no driver RNG state."""
+    return sents.withColumn(
+        "batch",
+        F.pmod(
+            F.xxhash64(F.col("sent_id"), F.lit(int(epoch)), F.lit(int(seed))),
+            F.lit(int(n_batches)),
+        ).cast("int"),
+    )
+
+
+def train(
+    spark: SparkSession,
+    sents: DataFrame,
+    lang: str = "en",
+    epochs: int = 3,
+    lr: float = 0.5,
+    n_batches: int = 4,
+    seed: int = 42,
+    init: dict[str, np.ndarray] | None = None,
+) -> dict:
+    """Mini-batch SGD over ``sents(sent_id, text, labels array<int>)``.
+
+    Per epoch: deal sentences into ``n_batches`` via the epoch-seeded hash
+    (O2); for each batch run one exact-gradient Spark job and take an SGD
+    step on the driver (M3, gradient normalized per char); record the
+    epoch's mean per-char cost (A3). Returns ``{"weights": fp32 dict,
+    "costs": [(epoch, mean_cost)], "best_epoch": int}`` — best-epoch
+    select (A5 shape) is the argmin of the cost ledger, and the weights
+    plug into :func:`tagger.tag_sentences`/:func:`tagger.save_weights`.
+    """
+    w = init if init is not None else init_weights(lang)
+    w = {k: v.copy() for k, v in w.items()}
+    sents = sents.select("sent_id", "text", "labels")
+    sents.persist()
+    costs: list[tuple[int, float]] = []
+    for epoch in range(epochs):
+        dealt = with_batch_col(sents, epoch, n_batches, seed)
+        loss_sum = 0.0
+        char_sum = 0
+        for b in range(n_batches):
+            grad, loss, n_chars = batch_gradient(
+                dealt.filter(F.col("batch") == b), w)
+            if n_chars == 0:
+                continue
+            gd = unflatten(grad / n_chars, w)
+            for k in PARAM_KEYS:
+                w[k] -= lr * gd[k]
+            loss_sum += loss
+            char_sum += n_chars
+        costs.append((epoch, loss_sum / max(char_sum, 1)))
+    sents.unpersist()
+    best = min(costs, key=lambda ec: ec[1])[0] if costs else 0
+    return {"weights": finalize_weights(w), "costs": costs, "best_epoch": best}
+
+
+def costs_table(spark: SparkSession, costs: list[tuple[int, float]]) -> DataFrame:
+    """A3 epoch-cost-mean ledger as a DataFrame (epoch, mean_cost)."""
+    return spark.createDataFrame(
+        [(int(e), float(c)) for e, c in costs], "epoch int, mean_cost double"
+    )
+
+
+def conll_to_train_df(conll: DataFrame) -> DataFrame:
+    """(file, sent_id, tokens, tags) from :func:`sources.read_conll` →
+    (sent_id, text, labels): text joins tokens with single spaces, labels
+    are per-char class ids via the std char scheme (P1 projection +
+    P3 scheme conversion, shared with the inference fixtures)."""
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cls_id = {c: i for i, c in enumerate(CLASSES)}
+        for pdf in batches:
+            out = []
+            for file, sid, tokens, tags in zip(
+                pdf["file"], pdf["sent_id"], pdf["tokens"], pdf["tags"]
+            ):
+                text = " ".join(tokens)
+                classes = S.word_tags_to_char_classes(text, list(tags))
+                out.append((
+                    f"{file}#{sid}",
+                    text,
+                    [cls_id[c] for c in classes],
+                ))
+            yield pd.DataFrame(out, columns=["sent_id", "text", "labels"])
+    return conll.mapInPandas(
+        go, schema="sent_id string, text string, labels array<int>"
+    )
