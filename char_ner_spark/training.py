@@ -342,6 +342,49 @@ def with_batch_col(sents: DataFrame, epoch: int, n_batches: int,
     )
 
 
+def _checkpoint_epoch(ckpt_dir: str, epoch: int, w: dict[str, np.ndarray],
+                      costs: list[tuple[int, float]]) -> None:
+    """Atomic per-epoch checkpoint: float64 masters + the cost ledger.
+    Write-then-rename so a killed job never leaves a torn epoch file."""
+    import json as _json
+    import os
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    # np.savez appends ".npz" when the name lacks it — keep the suffix on
+    # the tmp name so the rename source actually exists
+    tmp = os.path.join(ckpt_dir, f".epoch_{epoch}.tmp.npz")
+    np.savez(tmp, **w)
+    os.replace(tmp, os.path.join(ckpt_dir, f"epoch_{epoch}.npz"))
+    tmpj = os.path.join(ckpt_dir, ".costs.json.tmp")
+    with open(tmpj, "w") as f:
+        _json.dump({"costs": costs}, f)
+    os.replace(tmpj, os.path.join(ckpt_dir, "costs.json"))
+
+
+def _load_checkpoint(ckpt_dir: str) -> tuple[int, dict, list] | None:
+    """Latest complete epoch in ``ckpt_dir`` → (epoch, float64 weights,
+    costs through that epoch), or None."""
+    import json as _json
+    import os
+    import re as _re
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    done = sorted(
+        int(m.group(1))
+        for fn in os.listdir(ckpt_dir)
+        if (m := _re.fullmatch(r"epoch_(\d+)\.npz", fn))
+    )
+    if not done:
+        return None
+    last = done[-1]
+    with np.load(os.path.join(ckpt_dir, f"epoch_{last}.npz")) as z:
+        w = {k: z[k] for k in z.files}
+    with open(os.path.join(ckpt_dir, "costs.json")) as f:
+        costs = [tuple(ec) for ec in _json.load(f)["costs"]]
+    return last, w, [ec for ec in costs if ec[0] <= last]
+
+
 def train(
     spark: SparkSession,
     sents: DataFrame,
@@ -351,6 +394,7 @@ def train(
     n_batches: int = 4,
     seed: int = 42,
     init: dict[str, np.ndarray] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Mini-batch SGD over ``sents(sent_id, text, labels array<int>)``.
 
@@ -361,13 +405,25 @@ def train(
     "costs": [(epoch, mean_cost)], "best_epoch": int}`` — best-epoch
     select (A5 shape) is the argmin of the cost ledger, and the weights
     plug into :func:`tagger.tag_sentences`/:func:`tagger.save_weights`.
-    """
+
+    ``checkpoint_dir`` makes the run resumable: float64 masters + the cost
+    ledger are written atomically after every epoch, and a rerun picks up
+    after the latest complete epoch. Because the epoch schedule is
+    state-free (hash of (sent_id, epoch, seed)) and the gradient
+    aggregation is exact int64, a resumed run's weights and costs are
+    BITWISE equal to an uninterrupted run's — pinned in
+    tests/test_training.py."""
     w = init if init is not None else init_weights(lang)
     w = {k: v.copy() for k, v in w.items()}
+    costs: list[tuple[int, float]] = []
+    start_epoch = 0
+    if checkpoint_dir is not None:
+        got = _load_checkpoint(checkpoint_dir)
+        if got is not None:
+            start_epoch, w, costs = got[0] + 1, got[1], list(got[2])
     sents = sents.select("sent_id", "text", "labels")
     sents.persist()
-    costs: list[tuple[int, float]] = []
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         dealt = with_batch_col(sents, epoch, n_batches, seed)
         loss_sum = 0.0
         char_sum = 0
@@ -382,6 +438,8 @@ def train(
             loss_sum += loss
             char_sum += n_chars
         costs.append((epoch, loss_sum / max(char_sum, 1)))
+        if checkpoint_dir is not None:
+            _checkpoint_epoch(checkpoint_dir, epoch, w, costs)
     sents.unpersist()
     best = min(costs, key=lambda ec: ec[1])[0] if costs else 0
     return {"weights": finalize_weights(w), "costs": costs, "best_epoch": best}

@@ -157,6 +157,27 @@ def test_trained_weights_drive_inference_and_improve_fit(spark, train_df):
     assert isinstance(out[0], list)
 
 
+def test_checkpoint_resume_bitwise_equals_straight_run(spark, train_df, tmp_path):
+    """Kill-and-resume ≡ uninterrupted: the epoch schedule is state-free
+    and the gradient sums are exact int64, so resuming from the epoch-1
+    checkpoint reproduces epochs 2.. bit-for-bit."""
+    straight = T.train(spark, train_df, epochs=3, lr=1.0, n_batches=2, seed=42)
+    ckpt = str(tmp_path / "ckpt")
+    partial = T.train(spark, train_df, epochs=2, lr=1.0, n_batches=2,
+                      seed=42, checkpoint_dir=ckpt)
+    assert len(partial["costs"]) == 2
+    resumed = T.train(spark, train_df, epochs=3, lr=1.0, n_batches=2,
+                      seed=42, checkpoint_dir=ckpt)
+    assert [e for e, _ in resumed["costs"]] == [0, 1, 2]
+    assert resumed["costs"] == straight["costs"]
+    for k in sorted(straight["weights"]):
+        assert np.array_equal(resumed["weights"][k], straight["weights"][k]), k
+    # a fully-complete checkpoint resumes to a no-op with identical output
+    again = T.train(spark, train_df, epochs=3, lr=1.0, n_batches=2,
+                    seed=42, checkpoint_dir=ckpt)
+    assert again["costs"] == straight["costs"]
+
+
 def test_conll_to_train_df(spark, tmp_path):
     from char_ner_spark.sources import read_conll, write_conll_fixture
 
