@@ -221,6 +221,44 @@ def main() -> int:
         ],
     ))
 
+    # 12. training gradient job (round 5): the epoch/batch filter must
+    # prune JVM-side BEFORE the Python crossing, and the job must be
+    # shuffle-free (scan → filter → MapInPandas) — at 10^12 docs the
+    # mini-batch selectivity is what keeps one SGD step's Python work
+    # bounded, so a filter evaluated after the UDF would be a scale bug.
+    import tempfile
+
+    from char_ner_spark import training as TR
+
+    with tempfile.TemporaryDirectory(prefix="plan_audit_train_") as td:
+        spark.createDataFrame(
+            [(f"s{i}", "Alice met Bob", [1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1])
+             for i in range(64)],
+            "sent_id string, text string, labels array<int>",
+        ).write.parquet(td + "/sents")
+        sents_t = spark.read.parquet(td + "/sents")
+        gj = (
+            TR.with_batch_col(sents_t, 0, 4)
+            .filter(F.col("batch") == 1)
+            .select("text", "labels")
+            .mapInPandas(TR._partial_grads_fn(TR.init_weights("en")),
+                         schema=TR._PARTIAL_SCHEMA)
+        )
+        p11 = fmt(gj)
+        mip = p11.find("MapInPandas")
+        filt = p11.find("Filter")
+        sections.append((
+            "training batch-gradient job (epoch filter before Python)", p11,
+            [
+                ("Arrow eval (MapInPandas)", mip >= 0),
+                # formatted tree prints output-first: the Filter must be a
+                # descendant of (printed after) MapInPandas in the tree
+                ("batch filter prunes JVM-side before the UDF",
+                 0 <= mip < filt and "xxhash64" in p11),
+                ("shuffle-free (no Exchange)", "Exchange" not in p11),
+            ],
+        ))
+
     out = ["# Physical plan audit (generated by tools/plan_audit.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
