@@ -343,9 +343,13 @@ def with_batch_col(sents: DataFrame, epoch: int, n_batches: int,
 
 
 def _checkpoint_epoch(ckpt_dir: str, epoch: int, w: dict[str, np.ndarray],
-                      costs: list[tuple[int, float]]) -> None:
-    """Atomic per-epoch checkpoint: float64 masters + the cost ledger.
-    Write-then-rename so a killed job never leaves a torn epoch file."""
+                      costs: list[tuple[int, float]],
+                      vel: dict[str, np.ndarray],
+                      dev_costs: list[tuple[int, float]]) -> None:
+    """Atomic per-epoch checkpoint: float64 masters + momentum velocity
+    (``vel::`` key prefix, so resumed momentum trajectories stay bitwise)
+    + both cost ledgers. Write-then-rename so a killed job never leaves a
+    torn epoch file."""
     import json as _json
     import os
 
@@ -353,17 +357,26 @@ def _checkpoint_epoch(ckpt_dir: str, epoch: int, w: dict[str, np.ndarray],
     # np.savez appends ".npz" when the name lacks it — keep the suffix on
     # the tmp name so the rename source actually exists
     tmp = os.path.join(ckpt_dir, f".epoch_{epoch}.tmp.npz")
-    np.savez(tmp, **w)
+    np.savez(tmp, **w, **{f"vel::{k}": v for k, v in vel.items()})
     os.replace(tmp, os.path.join(ckpt_dir, f"epoch_{epoch}.npz"))
     tmpj = os.path.join(ckpt_dir, ".costs.json.tmp")
     with open(tmpj, "w") as f:
-        _json.dump({"costs": costs}, f)
+        _json.dump({"costs": costs, "dev_costs": dev_costs}, f)
     os.replace(tmpj, os.path.join(ckpt_dir, "costs.json"))
 
 
-def _load_checkpoint(ckpt_dir: str) -> tuple[int, dict, list] | None:
+def _load_epoch_file(ckpt_dir: str, epoch: int) -> tuple[dict, dict]:
+    import os
+
+    with np.load(os.path.join(ckpt_dir, f"epoch_{epoch}.npz")) as z:
+        w = {k: z[k] for k in z.files if not k.startswith("vel::")}
+        vel = {k[len("vel::"):]: z[k] for k in z.files if k.startswith("vel::")}
+    return w, vel
+
+
+def _load_checkpoint(ckpt_dir: str) -> tuple[int, dict, list, dict, list] | None:
     """Latest complete epoch in ``ckpt_dir`` → (epoch, float64 weights,
-    costs through that epoch), or None."""
+    costs, velocity, dev_costs), or None."""
     import json as _json
     import os
     import re as _re
@@ -378,11 +391,43 @@ def _load_checkpoint(ckpt_dir: str) -> tuple[int, dict, list] | None:
     if not done:
         return None
     last = done[-1]
-    with np.load(os.path.join(ckpt_dir, f"epoch_{last}.npz")) as z:
-        w = {k: z[k] for k in z.files}
+    w, vel = _load_epoch_file(ckpt_dir, last)
     with open(os.path.join(ckpt_dir, "costs.json")) as f:
-        costs = [tuple(ec) for ec in _json.load(f)["costs"]]
-    return last, w, [ec for ec in costs if ec[0] <= last]
+        led = _json.load(f)
+    costs = [tuple(ec) for ec in led["costs"] if ec[0] <= last]
+    dev_costs = [tuple(ec) for ec in led.get("dev_costs", []) if ec[0] <= last]
+    return last, w, costs, vel, dev_costs
+
+
+def _partial_loss_fn(w: dict[str, np.ndarray]):
+    """Forward-only twin of :func:`_partial_grads_fn` for dev-set scoring:
+    exact int64 loss sums, no gradient work."""
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            loss_fp = 0
+            n_chars = 0
+            for text, labels in zip(pdf["text"], pdf["labels"]):
+                if not text:
+                    continue
+                logits, _ = forward_sentence(_encode(text), w)
+                loss, _ = ce_loss(logits, np.asarray(labels, dtype=np.int64))
+                loss_fp += int(round(loss * GRAD_SCALE))
+                n_chars += len(text)
+            yield pd.DataFrame({"loss_fp": [loss_fp], "n_chars": [n_chars]})
+    return go
+
+
+def dataset_cost(df: DataFrame, w: dict[str, np.ndarray]) -> float:
+    """Exact mean per-char CE over ``df(text, labels)`` — one forward-only
+    Spark job; partition-independent like the gradient (int64 sums)."""
+    rows = (
+        df.select("text", "labels")
+        .mapInPandas(_partial_loss_fn(w), schema="loss_fp long, n_chars long")
+        .collect()
+    )
+    loss_fp = sum(r["loss_fp"] for r in rows)
+    n = sum(r["n_chars"] for r in rows)
+    return (loss_fp / GRAD_SCALE) / max(n, 1)
 
 
 def train(
@@ -395,6 +440,10 @@ def train(
     seed: int = 42,
     init: dict[str, np.ndarray] | None = None,
     checkpoint_dir: str | None = None,
+    momentum: float = 0.0,
+    clip_norm: float = 0.0,
+    dev: DataFrame | None = None,
+    patience: int | None = None,
 ) -> dict:
     """Mini-batch SGD over ``sents(sent_id, text, labels array<int>)``.
 
@@ -402,27 +451,46 @@ def train(
     (O2); for each batch run one exact-gradient Spark job and take an SGD
     step on the driver (M3, gradient normalized per char); record the
     epoch's mean per-char cost (A3). Returns ``{"weights": fp32 dict,
-    "costs": [(epoch, mean_cost)], "best_epoch": int}`` — best-epoch
-    select (A5 shape) is the argmin of the cost ledger, and the weights
-    plug into :func:`tagger.tag_sentences`/:func:`tagger.save_weights`.
+    "costs": [(epoch, mean_cost)], "best_epoch": int}`` (plus
+    ``dev_costs`` when ``dev`` is given) — best-epoch select (A5 shape)
+    is the argmin of the governing ledger, and the weights plug into
+    :func:`tagger.tag_sentences`/:func:`tagger.save_weights`.
 
-    ``checkpoint_dir`` makes the run resumable: float64 masters + the cost
-    ledger are written atomically after every epoch, and a rerun picks up
-    after the latest complete epoch. Because the epoch schedule is
-    state-free (hash of (sent_id, epoch, seed)) and the gradient
-    aggregation is exact int64, a resumed run's weights and costs are
-    BITWISE equal to an uninterrupted run's — pinned in
+    Training-stability knobs mirror the reference's (ref:src/lazrnn.py
+    ``lasagne.updates`` + ``--gclip``; ref:src/exper.py dev-F1 model
+    selection — reconstructed): ``momentum`` = classical momentum
+    (v ← m·v − lr·g; w ← w + v), ``clip_norm`` = global-norm gradient
+    clipping, ``dev`` = held-out set scored each epoch with a
+    forward-only exact job (:func:`dataset_cost`) — when given,
+    ``best_epoch``/returned weights follow the DEV ledger, and
+    ``patience`` stops early after that many epochs without a dev
+    improvement. All update math is driver-side float64, so every knob
+    preserves the bitwise partitioning-independence of the trajectory.
+
+    ``checkpoint_dir`` makes the run resumable: float64 masters, momentum
+    velocity, and both cost ledgers are written atomically after every
+    epoch, and a rerun picks up after the latest complete epoch. Because
+    the epoch schedule is state-free (hash of (sent_id, epoch, seed)) and
+    the gradient aggregation is exact int64, a resumed run's weights and
+    costs are BITWISE equal to an uninterrupted run's — pinned in
     tests/test_training.py."""
     w = init if init is not None else init_weights(lang)
     w = {k: v.copy() for k, v in w.items()}
+    vel = {k: np.zeros_like(w[k]) for k in PARAM_KEYS}
     costs: list[tuple[int, float]] = []
+    dev_costs: list[tuple[int, float]] = []
     start_epoch = 0
     if checkpoint_dir is not None:
         got = _load_checkpoint(checkpoint_dir)
         if got is not None:
             start_epoch, w, costs = got[0] + 1, got[1], list(got[2])
+            if got[3]:
+                vel = got[3]
+            dev_costs = list(got[4])
     sents = sents.select("sent_id", "text", "labels")
     sents.persist()
+    best_w: dict[str, np.ndarray] | None = None
+    best_dev_epoch = min(dev_costs, key=lambda ec: ec[1])[0] if dev_costs else -1
     for epoch in range(start_epoch, epochs):
         dealt = with_batch_col(sents, epoch, n_batches, seed)
         loss_sum = 0.0
@@ -432,15 +500,42 @@ def train(
                 dealt.filter(F.col("batch") == b), w)
             if n_chars == 0:
                 continue
-            gd = unflatten(grad / n_chars, w)
+            gvec = grad / n_chars
+            if clip_norm > 0.0:
+                gn = float(np.sqrt(gvec @ gvec))
+                if gn > clip_norm:
+                    gvec = gvec * (clip_norm / gn)
+            gd = unflatten(gvec, w)
             for k in PARAM_KEYS:
-                w[k] -= lr * gd[k]
+                if momentum > 0.0:
+                    vel[k] *= momentum
+                    vel[k] -= lr * gd[k]
+                    w[k] += vel[k]
+                else:
+                    w[k] -= lr * gd[k]
             loss_sum += loss
             char_sum += n_chars
         costs.append((epoch, loss_sum / max(char_sum, 1)))
+        if dev is not None:
+            dc = dataset_cost(dev, w)
+            dev_costs.append((epoch, dc))
+            if best_dev_epoch < 0 or dc < min(c for e, c in dev_costs[:-1]):
+                best_dev_epoch = epoch
+                best_w = {k: v.copy() for k, v in w.items()}
         if checkpoint_dir is not None:
-            _checkpoint_epoch(checkpoint_dir, epoch, w, costs)
+            _checkpoint_epoch(checkpoint_dir, epoch, w, costs, vel, dev_costs)
+        if (dev is not None and patience is not None
+                and epoch - best_dev_epoch >= patience):
+            break
     sents.unpersist()
+    if dev is not None and dev_costs:
+        best = min(dev_costs, key=lambda ec: ec[1])[0]
+        if best_w is None and checkpoint_dir is not None:
+            # resumed straight past the best epoch — its masters are on disk
+            best_w, _ = _load_epoch_file(checkpoint_dir, best)
+        out_w = best_w if best_w is not None else w
+        return {"weights": finalize_weights(out_w), "costs": costs,
+                "dev_costs": dev_costs, "best_epoch": best}
     best = min(costs, key=lambda ec: ec[1])[0] if costs else 0
     return {"weights": finalize_weights(w), "costs": costs, "best_epoch": best}
 

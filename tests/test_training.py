@@ -178,6 +178,52 @@ def test_checkpoint_resume_bitwise_equals_straight_run(spark, train_df, tmp_path
     assert again["costs"] == straight["costs"]
 
 
+def test_stability_knobs_momentum_clip_dev(spark, train_df, tmp_path):
+    """Reference training-stability knobs (lasagne.updates momentum,
+    --gclip, dev-set model selection): each must change/govern the
+    trajectory as specified while keeping it deterministic."""
+    base = T.train(spark, train_df, epochs=2, lr=1.0, n_batches=2, seed=42)
+    mom = T.train(spark, train_df, epochs=2, lr=1.0, n_batches=2, seed=42,
+                  momentum=0.9)
+    assert not np.array_equal(base["weights"]["Wout"], mom["weights"]["Wout"])
+    # a binding clip changes the trajectory; a huge clip is a no-op
+    clipped = T.train(spark, train_df, epochs=2, lr=1.0, n_batches=2,
+                      seed=42, clip_norm=1e-3)
+    unclipped = T.train(spark, train_df, epochs=2, lr=1.0, n_batches=2,
+                        seed=42, clip_norm=1e9)
+    assert not np.array_equal(base["weights"]["Wout"], clipped["weights"]["Wout"])
+    for k in sorted(base["weights"]):
+        assert np.array_equal(base["weights"][k], unclipped["weights"][k]), k
+    # dev ledger governs best_epoch and the returned weights
+    res = T.train(spark, train_df, epochs=3, lr=2.0, n_batches=2, seed=42,
+                  dev=train_df)
+    assert len(res["dev_costs"]) == 3
+    assert res["best_epoch"] == int(np.argmin([c for _, c in res["dev_costs"]]))
+
+
+def test_patience_stops_early(spark, train_df):
+    """A divergent lr makes dev cost blow up after epoch 0 — patience=1
+    must stop the run early and return the epoch-0 (best-dev) weights."""
+    res = T.train(spark, train_df, epochs=8, lr=200.0, n_batches=2, seed=42,
+                  dev=train_df, patience=1)
+    assert len(res["costs"]) < 8, "patience did not stop a divergent run"
+    assert res["best_epoch"] == int(np.argmin([c for _, c in res["dev_costs"]]))
+
+
+def test_momentum_resume_bitwise(spark, train_df, tmp_path):
+    """Velocity is part of the checkpoint: a momentum run resumed from the
+    epoch-1 checkpoint must reproduce the straight run bit-for-bit."""
+    kw = dict(epochs=3, lr=1.0, n_batches=2, seed=42, momentum=0.9)
+    straight = T.train(spark, train_df, **kw)
+    ckpt = str(tmp_path / "ckpt_m")
+    T.train(spark, train_df, epochs=2, lr=1.0, n_batches=2, seed=42,
+            momentum=0.9, checkpoint_dir=ckpt)
+    resumed = T.train(spark, train_df, checkpoint_dir=ckpt, **kw)
+    assert resumed["costs"] == straight["costs"]
+    for k in sorted(straight["weights"]):
+        assert np.array_equal(resumed["weights"][k], straight["weights"][k]), k
+
+
 def test_conll_to_train_df(spark, tmp_path):
     from char_ner_spark.sources import read_conll, write_conll_fixture
 
