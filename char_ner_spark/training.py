@@ -345,7 +345,8 @@ def with_batch_col(sents: DataFrame, epoch: int, n_batches: int,
 def _checkpoint_epoch(ckpt_dir: str, epoch: int, w: dict[str, np.ndarray],
                       costs: list[tuple[int, float]],
                       vel: dict[str, np.ndarray],
-                      dev_costs: list[tuple[int, float]]) -> None:
+                      dev_costs: list[tuple[int, float]],
+                      hp: dict | None = None) -> None:
     """Atomic per-epoch checkpoint: float64 masters + momentum velocity
     (``vel::`` key prefix, so resumed momentum trajectories stay bitwise)
     + both cost ledgers. Write-then-rename so a killed job never leaves a
@@ -361,7 +362,7 @@ def _checkpoint_epoch(ckpt_dir: str, epoch: int, w: dict[str, np.ndarray],
     os.replace(tmp, os.path.join(ckpt_dir, f"epoch_{epoch}.npz"))
     tmpj = os.path.join(ckpt_dir, ".costs.json.tmp")
     with open(tmpj, "w") as f:
-        _json.dump({"costs": costs, "dev_costs": dev_costs}, f)
+        _json.dump({"costs": costs, "dev_costs": dev_costs, "hp": hp}, f)
     os.replace(tmpj, os.path.join(ckpt_dir, "costs.json"))
 
 
@@ -396,7 +397,7 @@ def _load_checkpoint(ckpt_dir: str) -> tuple[int, dict, list, dict, list] | None
         led = _json.load(f)
     costs = [tuple(ec) for ec in led["costs"] if ec[0] <= last]
     dev_costs = [tuple(ec) for ec in led.get("dev_costs", []) if ec[0] <= last]
-    return last, w, costs, vel, dev_costs
+    return last, w, costs, vel, dev_costs, led.get("hp")
 
 
 def _partial_loss_fn(w: dict[str, np.ndarray]):
@@ -480,9 +481,20 @@ def train(
     costs: list[tuple[int, float]] = []
     dev_costs: list[tuple[int, float]] = []
     start_epoch = 0
+    # the trajectory-defining hyperparameters travel with the checkpoint:
+    # resuming under different ones would silently train a DIFFERENT run —
+    # fail loud instead (epochs is extendable on purpose)
+    hp = {"lang": lang, "lr": lr, "n_batches": n_batches, "seed": seed,
+          "momentum": momentum, "clip_norm": clip_norm}
     if checkpoint_dir is not None:
         got = _load_checkpoint(checkpoint_dir)
         if got is not None:
+            if got[5] is not None and got[5] != hp:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} was written with "
+                    f"hyperparameters {got[5]}, not {hp}; use a fresh "
+                    "checkpoint_dir to start a different run"
+                )
             start_epoch, w, costs = got[0] + 1, got[1], list(got[2])
             if got[3]:
                 vel = got[3]
@@ -523,7 +535,8 @@ def train(
                 best_dev_epoch = epoch
                 best_w = {k: v.copy() for k, v in w.items()}
         if checkpoint_dir is not None:
-            _checkpoint_epoch(checkpoint_dir, epoch, w, costs, vel, dev_costs)
+            _checkpoint_epoch(checkpoint_dir, epoch, w, costs, vel,
+                              dev_costs, hp)
         if (dev is not None and patience is not None
                 and epoch - best_dev_epoch >= patience):
             break

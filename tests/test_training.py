@@ -210,6 +210,24 @@ def test_patience_stops_early(spark, train_df):
     assert res["best_epoch"] == int(np.argmin([c for _, c in res["dev_costs"]]))
 
 
+def test_resume_rejects_changed_hyperparameters(spark, train_df, tmp_path):
+    """Resuming a checkpoint under different trajectory-defining
+    hyperparameters must fail loud, not silently train a hybrid run.
+    Extending epochs is allowed (that's what resume is for)."""
+    ckpt = str(tmp_path / "ckpt_hp")
+    T.train(spark, train_df, epochs=1, lr=1.0, n_batches=2, seed=42,
+            checkpoint_dir=ckpt)
+    with pytest.raises(ValueError, match="hyperparameters"):
+        T.train(spark, train_df, epochs=2, lr=0.5, n_batches=2, seed=42,
+                checkpoint_dir=ckpt)
+    with pytest.raises(ValueError, match="hyperparameters"):
+        T.train(spark, train_df, epochs=2, lr=1.0, n_batches=3, seed=42,
+                checkpoint_dir=ckpt)
+    res = T.train(spark, train_df, epochs=2, lr=1.0, n_batches=2, seed=42,
+                  checkpoint_dir=ckpt)  # extend: fine
+    assert [e for e, _ in res["costs"]] == [0, 1]
+
+
 def test_momentum_resume_bitwise(spark, train_df, tmp_path):
     """Velocity is part of the checkpoint: a momentum run resumed from the
     epoch-1 checkpoint must reproduce the straight run bit-for-bit."""
