@@ -265,16 +265,17 @@ def _quantize(vec: np.ndarray) -> np.ndarray:
 
 
 def _partial_grads_fn(w: dict[str, np.ndarray]):
-    """mapInPandas worker: per-partition int64 sums of quantized
-    per-sentence gradients + losses + char counts. One output row per
-    input batch — int64 addition makes the cross-partition (and
-    cross-batch) sum exact and order-free."""
+    """mapInPandas worker: int64 sums of quantized per-sentence gradients
+    + losses + char counts, accumulated across ALL of the partition's
+    Arrow batches and emitted as ONE row — driver traffic is
+    O(partitions × model size), not O(batches). int64 addition makes the
+    cross-partition sum exact and order-free."""
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_params = int(sum(w[k].size for k in PARAM_KEYS))
+        acc = np.zeros(n_params, dtype=np.int64)
+        loss_fp = 0
+        n_chars = 0
         for pdf in batches:
-            n_params = int(sum(w[k].size for k in PARAM_KEYS))
-            acc = np.zeros(n_params, dtype=np.int64)
-            loss_fp = 0
-            n_chars = 0
             for text, labels in zip(pdf["text"], pdf["labels"]):
                 if not text:
                     continue
@@ -284,6 +285,7 @@ def _partial_grads_fn(w: dict[str, np.ndarray]):
                 acc += _quantize(flatten_grads(g))
                 loss_fp += int(round(loss * GRAD_SCALE))
                 n_chars += len(text)
+        if n_chars:
             yield pd.DataFrame({
                 "grad_fp": [acc.tolist()],
                 "loss_fp": [loss_fp],
@@ -404,9 +406,9 @@ def _partial_loss_fn(w: dict[str, np.ndarray]):
     """Forward-only twin of :func:`_partial_grads_fn` for dev-set scoring:
     exact int64 loss sums, no gradient work."""
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        loss_fp = 0
+        n_chars = 0
         for pdf in batches:
-            loss_fp = 0
-            n_chars = 0
             for text, labels in zip(pdf["text"], pdf["labels"]):
                 if not text:
                     continue
@@ -414,6 +416,7 @@ def _partial_loss_fn(w: dict[str, np.ndarray]):
                 loss, _ = ce_loss(logits, np.asarray(labels, dtype=np.int64))
                 loss_fp += int(round(loss * GRAD_SCALE))
                 n_chars += len(text)
+        if n_chars:
             yield pd.DataFrame({"loss_fp": [loss_fp], "n_chars": [n_chars]})
     return go
 
