@@ -534,6 +534,16 @@ def read_table(spark: SparkSession, out_dir: str, table: str,
     reader."""
     base, prefix = _table_base(out_dir, table)
     snap = current_snapshot(out_dir, snapshot_id, table=table)
+    if snap is None and snapshot_id is not None:
+        # an explicitly pinned snapshot that no longer resolves must fail
+        # loud: the directory-glob fallback below would silently read a
+        # DIFFERENT table state — after a copy-on-write rewrite it would
+        # even double-read superseded part directories kept for time travel
+        raise FileNotFoundError(
+            f"{table} snapshot {snapshot_id} not found under {out_dir} "
+            "(expired or never written); time travel past the retention "
+            "window is unreadable by design"
+        )
     if snap is not None:
         if snap.get("manifest"):
             parts = [p["part_id"] for p in snap["manifest"]
@@ -576,3 +586,61 @@ def read_edges(spark: SparkSession, out_dir: str,
     to materialize."""
     e = read_table(spark, out_dir, "edges", snapshot_id)
     return e.groupBy("src", "dst", "rel").agg(F.sum("weight").alias("weight"))
+
+
+def gc_orphan_parts(spark: SparkSession, out_dir: str,
+                    table: str = "triples") -> list[int]:
+    """Delete part directories no retained snapshot references — Iceberg's
+    ``remove_orphan_files`` for this facade.
+
+    Copy-on-write rewrites (:func:`~char_ner_spark.incremental.
+    apply_dictionary_update`) leave each superseded part directory on disk
+    because older snapshots still reference it for time travel; once those
+    snapshots expire (:func:`expire_snapshots`), the directory is
+    unreachable through any pointer and only wastes scan-planning time and
+    storage. A part is LIVE (never collected) if any retained snapshot
+    file lists it with rows > 0, or the lineage manifest's LATEST row for
+    it has rows_out > 0 — the manifest is the heal-path source of truth,
+    so a part whose snapshot commit crashed mid-window must survive GC for
+    the heal to resurrect it. Returns the part ids removed."""
+    import shutil
+
+    meta = _snapshot_dir(out_dir, table)
+    if not os.path.isdir(meta):
+        return []
+    live: set[int] = set()
+    for f in os.listdir(meta):
+        if not (f.startswith("snapshot-") and f.endswith(".json")):
+            continue
+        with open(os.path.join(meta, f)) as fh:
+            snap = json.load(fh)
+        if snap.get("manifest"):
+            live |= {p["part_id"] for p in snap["manifest"]
+                     if p.get("rows", 1) > 0}
+        else:
+            live |= set(snap.get("completed", []))
+    m = read_manifest(spark, out_dir)
+    if m is not None:
+        rows = (
+            m.filter(F.col("stage") == table)
+            .groupBy("part_id")
+            .agg(F.max(F.struct("completed_at", "rows_out")).alias("last"))
+            .select("part_id", "last.rows_out")
+            .collect()
+        )
+        live |= {int(r.part_id) for r in rows if int(r.rows_out) > 0}
+    base, prefix = _table_base(out_dir, table)
+    if not os.path.isdir(base):
+        return []
+    removed: list[int] = []
+    for d in sorted(os.listdir(base)):
+        if not d.startswith(f"{prefix}="):
+            continue
+        try:
+            pid = int(d[len(prefix) + 1:])
+        except ValueError:
+            continue
+        if pid not in live:
+            shutil.rmtree(os.path.join(base, d))
+            removed.append(pid)
+    return removed

@@ -1,0 +1,279 @@
+"""Incremental dictionary updates + copy-on-write recanonicalization.
+
+The gate for incremental_canon is EXACT equivalence with a from-scratch
+recompute (union_find_canonical over the union dictionary) — the min-id
+representative is a history-independent function of the merged alias set,
+so any divergence is a bug, not a tolerance."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from char_ner_spark.fixtures import make_alias_table, make_pages
+from char_ner_spark.linking import union_find_canonical
+
+ALIAS_COLS = ["entity_id", "canonical_name", "alias", "lang", "prior",
+              "ner_type"]
+
+
+def _row(eid, name, alias, lang="en", prior=0.5, ner="ORG"):
+    return (eid, name, alias, lang, prior, ner)
+
+
+@pytest.fixture(scope="module")
+def base_alias():
+    return make_alias_table(60, seed=7)
+
+
+@pytest.fixture(scope="module")
+def delta_alias(base_alias):
+    """A delta that exercises every interesting case: a bridge between two
+    old components, a brand-new entity with a smaller id than every old
+    one (steals the canonical label), a brand-new isolated entity, and a
+    re-sent existing row."""
+    old = union_find_canonical(base_alias)
+    comps: dict[int, int] = {}
+    for eid, c in old.items():
+        comps.setdefault(c, eid)
+    cs = sorted(comps)
+    assert len(cs) >= 3, "fixture needs several old components"
+    c1, c2 = cs[0], cs[1]
+    alias_of = dict(zip(base_alias["entity_id"], base_alias["alias"]))
+    rows = [
+        # bridge: an alias of c1's representative re-attributed to a member
+        # of c2's component → the two components must merge to min(c1, c2)
+        _row(comps[c2], "Bridge Corp", alias_of[comps[c1]]),
+        # smaller-id newcomer sharing an alias with component c3 → c3's
+        # entities must all remap to the newcomer's id
+        _row(-5, "Elder Corp", alias_of[comps[cs[2]]]),
+        # isolated brand-new entity
+        _row(10_000, "Fresh Corp", "fresh corp"),
+        _row(10_000, "Fresh Corp", "freshco"),
+        # re-sent existing row (idempotence)
+        _row(int(base_alias.iloc[0]["entity_id"]),
+             base_alias.iloc[0]["canonical_name"],
+             base_alias.iloc[0]["alias"],
+             base_alias.iloc[0]["lang"],
+             float(base_alias.iloc[0]["prior"]),
+             base_alias.iloc[0]["ner_type"]),
+    ]
+    return pd.DataFrame(rows, columns=ALIAS_COLS)
+
+
+def _canon_dict(df):
+    pdf = df.toPandas()
+    return dict(zip(pdf["entity_id"].astype("int64"),
+                    pdf["canonical_id"].astype("int64")))
+
+
+def test_incremental_equals_full_recompute(spark, base_alias, delta_alias):
+    from char_ner_spark.incremental import update_dictionary_state
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    state = build_dictionary_state(spark, base_alias)
+    new_state, remap = update_dictionary_state(spark, state, base_alias,
+                                               delta_alias)
+    want = union_find_canonical(pd.concat([base_alias, delta_alias],
+                                          ignore_index=True))
+    assert _canon_dict(new_state["canon"]) == want
+    # remap composes old → new for every old entity
+    old = _canon_dict(state["canon"])
+    r = {int(x.old_canonical_id): int(x.new_canonical_id)
+         for x in remap.toPandas().itertuples()}
+    for eid, c in old.items():
+        assert r.get(c, c) == want[eid]
+    # non-identity only, and nothing outside the genuinely changed set
+    assert all(k != v for k, v in r.items())
+
+
+def test_incremental_distributed_path_parity(spark, base_alias, delta_alias):
+    from char_ner_spark.incremental import incremental_canon
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    state = build_dictionary_state(spark, base_alias)
+    canon_d, remap_d = incremental_canon(spark, state["canon"], base_alias,
+                                         delta_alias,
+                                         cc_distributed_threshold=0)
+    want = union_find_canonical(pd.concat([base_alias, delta_alias],
+                                          ignore_index=True))
+    assert _canon_dict(canon_d) == want
+    canon_s, remap_s = incremental_canon(spark, state["canon"], base_alias,
+                                         delta_alias)
+    assert (
+        set(map(tuple, remap_d.toPandas().itertuples(index=False)))
+        == set(map(tuple, remap_s.toPandas().itertuples(index=False)))
+    )
+
+
+def test_empty_delta_is_identity(spark, base_alias):
+    from char_ner_spark.incremental import incremental_canon
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    state = build_dictionary_state(spark, base_alias)
+    canon, remap = incremental_canon(spark, state["canon"], base_alias,
+                                     base_alias.iloc[0:0])
+    assert remap.count() == 0
+    assert _canon_dict(canon) == _canon_dict(state["canon"])
+
+
+def test_untouched_components_keep_ids(spark, base_alias):
+    """A delta that only adds an isolated entity must remap nothing."""
+    from char_ner_spark.incremental import update_dictionary_state
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    state = build_dictionary_state(spark, base_alias)
+    delta = pd.DataFrame([_row(99_999, "Island Corp", "island corp zx")],
+                         columns=ALIAS_COLS)
+    new_state, remap = update_dictionary_state(spark, state, base_alias,
+                                               delta)
+    assert remap.count() == 0
+    got = _canon_dict(new_state["canon"])
+    assert got[99_999] == 99_999
+    old = _canon_dict(state["canon"])
+    assert {k: v for k, v in got.items() if k != 99_999} == old
+
+
+def test_incremental_bands_equal_full_rebuild(spark, base_alias, delta_alias):
+    from char_ner_spark.incremental import update_dictionary_state
+    from char_ner_spark.pipeline import alias_spark_tables, \
+        build_dictionary_state
+
+    state = build_dictionary_state(spark, base_alias)
+    new_state, _ = update_dictionary_state(spark, state, base_alias,
+                                           delta_alias)
+    full = alias_spark_tables(
+        spark, pd.concat([base_alias, delta_alias], ignore_index=True)
+    )["bands"]
+    key = lambda df: set(map(tuple, df.toPandas().itertuples(index=False)))
+    assert key(new_state["bands"]) == key(full)
+
+
+@pytest.fixture(scope="module")
+def kg_run(spark, base_alias):
+    from char_ner_spark.pipeline import run_pipeline
+
+    pages = make_pages(30, seed=7, alias_df=base_alias)
+    out = run_pipeline(spark, spark.createDataFrame(pages), base_alias)
+    return pages, out
+
+
+def _linked_bridge_delta(base_alias, triples_pdf):
+    """Craft a delta bridging two components that actually occur in the
+    materialized triples, so the remap provably touches stored rows."""
+    subs = sorted(set(triples_pdf["subj"]) | set(triples_pdf["obj"]))
+    old = union_find_canonical(base_alias)
+    alias_of = dict(zip(base_alias["entity_id"], base_alias["alias"]))
+    present = [c for c in subs if c in old.values()]
+    assert len(present) >= 2, "need two canonical ids present in triples"
+    c1, c2 = present[0], present[1]
+    member = {c: eid for eid, c in sorted(old.items(), reverse=True)}
+    return pd.DataFrame(
+        [_row(member[c2], "Bridge Corp", alias_of[member[c1]])],
+        columns=ALIAS_COLS,
+    )
+
+
+def test_recanonicalize_triples_equals_recompute(spark, base_alias, kg_run):
+    from char_ner_spark.incremental import (recanonicalize_triples,
+                                            update_dictionary_state)
+    from char_ner_spark.pipeline import (build_dictionary_state,
+                                         extract_triples, middles_table)
+
+    _, out = kg_run
+    triples_old = out["triples"]
+    delta = _linked_bridge_delta(base_alias, triples_old.toPandas())
+    state = {"canon": out["canon"], "bands": None}
+    state2 = build_dictionary_state(spark, base_alias)
+    new_state, remap = update_dictionary_state(spark, state2, base_alias,
+                                               delta)
+    assert remap.count() >= 1
+    want = extract_triples(out["linked"], new_state["canon"],
+                           middles_table(spark)).toPandas()
+    got = recanonicalize_triples(triples_old, remap).toPandas()
+    key = lambda df: set(
+        map(tuple, df[["subj", "pred", "obj", "url", "sent_idx", "conf"]]
+            .round({"conf": 6}).itertuples(index=False))
+    )
+    assert key(got) == key(want)
+
+
+def test_apply_dictionary_update_cow(spark, base_alias, tmp_path_factory):
+    """End-to-end copy-on-write: only touched parts rewritten, time travel
+    intact, edges re-derived, GC reclaims superseded parts after expiry."""
+    from char_ner_spark import lineage
+    from char_ner_spark.incremental import (apply_dictionary_update,
+                                            recanonicalize_triples,
+                                            update_dictionary_state)
+    from char_ner_spark.pipeline import build_dictionary_state, \
+        edges_from_triples
+
+    out_dir = str(tmp_path_factory.mktemp("cow"))
+    pages = make_pages(30, seed=7, alias_df=base_alias)
+    lineage.run_partitioned(spark, spark.createDataFrame(pages), base_alias,
+                            out_dir, n_parts=3,
+                            sinks=("triples", "edges", "entities"))
+    s0 = lineage.current_snapshot(out_dir)["snapshot_id"]
+    before = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    delta = _linked_bridge_delta(base_alias, before)
+    state = build_dictionary_state(spark, base_alias)
+    new_state, remap = update_dictionary_state(spark, state, base_alias,
+                                               delta)
+    union_pdf = pd.concat([base_alias, delta], ignore_index=True)
+    stats = apply_dictionary_update(spark, out_dir, remap,
+                                    alias_pdf=union_pdf,
+                                    canon=new_state["canon"])
+    assert stats["triples"]["rewritten"], "bridge delta must touch parts"
+
+    key = lambda pdf: set(
+        map(tuple, pdf[["subj", "pred", "obj", "url", "sent_idx", "conf"]]
+            .round({"conf": 6}).itertuples(index=False))
+    )
+    after = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    want = recanonicalize_triples(
+        spark.createDataFrame(before), remap).toPandas()
+    assert key(after) == key(want)
+    assert key(after) != key(before)
+
+    # pinned time travel still reads the PRE-update table
+    pinned = lineage.read_triples(spark, out_dir,
+                                  snapshot_id=s0).drop("part_id").toPandas()
+    assert key(pinned) == key(before)
+
+    # edges re-derived from the rewritten triples (weights collapse-safe)
+    got_e = lineage.read_edges(spark, out_dir).toPandas()
+    want_e = (
+        edges_from_triples(lineage.read_triples(spark, out_dir)
+                           .drop("part_id"))
+        .toPandas()
+    )
+    ekey = lambda pdf: {
+        (r.src, r.dst, r.rel): round(r.weight, 6)
+        for r in pdf.itertuples()
+    }
+    assert ekey(got_e) == ekey(want_e)
+
+    # entities dimension refreshed with the delta's new rows
+    ents = lineage.read_table(spark, out_dir, "entities").toPandas()
+    assert set(delta["entity_id"]).issubset(set(ents["entity_id"]))
+
+    # resume on the updated out_dir is a no-op (all units still complete)
+    again = lineage.run_partitioned(
+        spark, spark.createDataFrame(pages), base_alias, out_dir, n_parts=3,
+        sinks=("triples", "edges", "entities"))
+    assert again == []
+
+    # GC: superseded dirs survive while a snapshot references them...
+    assert lineage.gc_orphan_parts(spark, out_dir, "triples") == []
+    # ...and are reclaimed once every referencing snapshot expires
+    lineage.expire_snapshots(out_dir, table="triples", keep_last=1)
+    removed = lineage.gc_orphan_parts(spark, out_dir, "triples")
+    assert set(removed) == {p for p, _ in stats["triples"]["rewritten"]}
+    still = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    assert key(still) == key(after)
+    # expired pin now fails loud instead of silently glob-reading
+    with pytest.raises(FileNotFoundError):
+        lineage.read_triples(spark, out_dir, snapshot_id=s0)
+    for p, _ in stats["triples"]["rewritten"]:
+        assert not os.path.isdir(os.path.join(out_dir, "triples",
+                                              f"part_id={p}"))
