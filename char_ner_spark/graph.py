@@ -107,12 +107,17 @@ def pagerank(edges: DataFrame, alpha: float = 0.85, tol: float = 1e-9,
     if g.count() <= distributed_threshold:
         return _pagerank_driver(spark, g, alpha, tol, max_iter, exact_iters)
     out_w = g.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # transition edges, partitioned once on src and reused every round
+    # loop-invariant sides are PERSISTED, not checkpointed: an
+    # InMemoryRelation keeps the repartition's outputPartitioning visible
+    # to the planner, so the per-round join reuses it exchange-free — a
+    # localCheckpoint here degrades to UnknownPartitioning and silently
+    # re-shuffles the (corpus-scale) edge table every round (caught by the
+    # plan audit; lineage truncation is only needed for the ITERATED frame)
     trans = (
         g.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
         .repartition(npart, "src")
-        .localCheckpoint()
+        .persist()
     )
     verts = (
         g.select(F.col("src").alias("entity"))
@@ -122,55 +127,71 @@ def pagerank(edges: DataFrame, alpha: float = 0.85, tol: float = 1e-9,
                            F.lit(False).alias("dang")), "entity", "left")
         .select("entity", F.coalesce("dang", F.lit(True)).alias("dang"))
         .repartition(npart, "entity")
-        .localCheckpoint()
+        .persist()
     )
-    counts = verts.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("dang").cast("long")).alias("nd")).collect()[0]
-    n, n_dang = int(counts["n"]), int(counts["nd"] or 0)
-    if n == 0:
-        return spark.createDataFrame([], "entity long, rank double")
-    ranks = verts.select("entity", "dang", F.lit(1.0 / n).alias("rank"))
-    d_mass = n_dang / n
-    rounds = max_iter if exact_iters is None else exact_iters
-    for it in range(rounds):
-        contrib = (
-            ranks.select(F.col("entity").alias("src"), "rank")
-            .join(trans, "src")
-            .groupBy(F.col("dst").alias("entity"))
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
-        )
-        base = (1.0 - alpha) / n + alpha * d_mass / n
-        obs = Observation(f"pr_delta_{it}")
-        new_ranks = (
-            verts.join(contrib, "entity", "left")
-            .select(
-                "entity", "dang",
-                (F.lit(base)
-                 + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
-                 ).alias("rank"),
+    try:
+        counts = verts.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("dang").cast("long")).alias("nd")).collect()[0]
+        n, n_dang = int(counts["n"]), int(counts["nd"] or 0)
+        if n == 0:
+            return spark.createDataFrame([], "entity long, rank double")
+        ranks = verts.select("entity", "dang", F.lit(1.0 / n).alias("rank"))
+        d_mass = n_dang / n
+        rounds = max_iter if exact_iters is None else exact_iters
+        for it in range(rounds):
+            obs = Observation(f"pr_delta_{it}")
+            new_ranks = (
+                _pr_step(verts, ranks, trans, n, alpha, d_mass)
+                .observe(
+                    obs,
+                    F.sum(F.abs(F.col("rank") - F.col("old"))).alias("l1"),
+                    F.sum(F.when(F.col("dang"), F.col("rank"))
+                          .otherwise(F.lit(0.0))).alias("d_mass"),
+                )
+                .select("entity", "dang", "rank")
+                .localCheckpoint()  # eager — fires the observation + cuts
+                # the iterated frame's lineage
             )
-            .join(ranks.select("entity", F.col("rank").alias("old")),
-                  "entity")
-            .observe(
-                obs,
-                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("l1"),
-                F.sum(F.when(F.col("dang"), F.col("rank"))
-                      .otherwise(F.lit(0.0))).alias("d_mass"),
-            )
-            .select("entity", "dang", "rank")
-            .localCheckpoint()  # eager — fires the observation, cuts lineage
-        )
-        ranks = new_ranks
-        got = obs.get
-        d_mass = float(got["d_mass"] or 0.0)
-        if exact_iters is None and float(got["l1"] or 0.0) <= tol:
+            ranks = new_ranks
+            got = obs.get
+            d_mass = float(got["d_mass"] or 0.0)
+            if exact_iters is None and float(got["l1"] or 0.0) <= tol:
+                return ranks.select("entity", "rank")
+        if exact_iters is not None:
             return ranks.select("entity", "rank")
-    if exact_iters is not None:
-        return ranks.select("entity", "rank")
-    raise RuntimeError(
-        f"pagerank did not converge to L1 <= {tol} within {max_iter} "
-        "iterations; raise max_iter or loosen tol"
+        raise RuntimeError(
+            f"pagerank did not converge to L1 <= {tol} within {max_iter} "
+            "iterations; raise max_iter or loosen tol"
+        )
+    finally:
+        trans.unpersist()
+        verts.unpersist()
+
+
+def _pr_step(verts: DataFrame, ranks: DataFrame, trans: DataFrame,
+             n: int, alpha: float, d_mass: float) -> DataFrame:
+    """One distributed PageRank round (pre-observation) — factored out so
+    the plan audit can inspect exactly the shape the loop executes:
+    contributions flow through the once-partitioned transition table, the
+    per-round shuffles move only vertex-scale rows, never the edge table.
+    Emits (entity, dang, rank, old)."""
+    contrib = (
+        ranks.select(F.col("entity").alias("src"), "rank")
+        .join(trans, "src")
+        .groupBy(F.col("dst").alias("entity"))
+        .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+    )
+    base = (1.0 - alpha) / n + alpha * d_mass / n
+    return (
+        verts.join(contrib, "entity", "left")
+        .select(
+            "entity", "dang",
+            (F.lit(base)
+             + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
+             ).alias("rank"),
+        )
+        .join(ranks.select("entity", F.col("rank").alias("old")), "entity")
     )
 
 
@@ -226,17 +247,18 @@ def k_hop(edges: DataFrame, sources: DataFrame, k: int,
     """Entities within ``k`` hops of a seed set → (entity, dist), dist =
     minimum hop count (0 for the seeds themselves).
 
-    Frontier BFS: each round joins only the CURRENT frontier (shrinking,
-    usually tiny → broadcast-joined by AQE) against the once-partitioned
-    edge table, then anti-joins the visited set — the corpus-scale edge
-    list is never re-shuffled and never scanned more than ``k`` times.
-    Stops early when the frontier empties."""
-    npart = _graph_npart(edges)
+    Frontier BFS: each round broadcast-joins only the CURRENT frontier
+    (vertex-scale, shrinking) against the materialized adjacency list,
+    then anti-joins the visited set — a broadcast hash join streams the
+    corpus-scale adjacency in place, so it is never shuffled at all and
+    never scanned more than ``k`` times (the checkpoint materializes the
+    symmetrized distinct once; its partitioning is irrelevant under a
+    broadcast probe). Stops early when the frontier empties."""
     adj = edges.select("src", "dst").distinct()
     if not directed:
         adj = adj.union(adj.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))).distinct()
-    adj = adj.repartition(npart, "src").localCheckpoint()
+    adj = adj.localCheckpoint()
     frontier = sources.select(F.col("entity")).distinct().localCheckpoint()
     visited = frontier.select("entity", F.lit(0).alias("dist"))
     for d in range(1, k + 1):

@@ -259,6 +259,118 @@ def main() -> int:
             ],
         ))
 
+    # 12. graph analytics: one distributed PageRank round. The loop-
+    # invariant transition table and vertex set are persisted (an
+    # InMemoryRelation keeps the repartition's outputPartitioning visible;
+    # a localCheckpoint degrades to UnknownPartitioning and silently
+    # re-shuffles the edge table EVERY round — the regression this section
+    # exists to catch). Only vertex-scale frames may shuffle per round.
+    from char_ner_spark.graph import _graph_npart, _pr_step
+
+    def outer_tree(plan: str) -> str:
+        """The plan tree with cached-relation BUILD subtrees removed —
+        those one-time exchanges are not per-round work."""
+        tree = plan.split("\n\n")[0]
+        out_lines, skip_indent = [], None
+        for line in tree.splitlines():
+            indent = len(line) - len(line.lstrip(" :+-*"))
+            if skip_indent is not None:
+                if indent > skip_indent:
+                    continue
+                skip_indent = None
+            if "InMemoryRelation" in line:
+                skip_indent = indent
+                continue
+            out_lines.append(line)
+        return "\n".join(out_lines)
+
+    import pandas as pd
+
+    edges_g = spark.createDataFrame(
+        pd.DataFrame({
+            "src": list(range(100)) * 2,
+            "dst": [(i * 7 + 3) % 100 for i in range(200)],
+            "rel": ["r"] * 200,
+            "weight": [1.0] * 200,
+        })
+    )
+    npart = _graph_npart(edges_g)
+    gg = edges_g.groupBy("src", "dst").agg(F.sum("weight").alias("w")) \
+        .localCheckpoint()
+    ow = gg.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = gg.join(ow, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    ).repartition(npart, "src").persist()
+    verts = (
+        gg.select(F.col("src").alias("entity"))
+        .union(gg.select(F.col("dst").alias("entity"))).distinct()
+        .join(ow.select(F.col("src").alias("entity"),
+                        F.lit(False).alias("dang")), "entity", "left")
+        .select("entity", F.coalesce("dang", F.lit(True)).alias("dang"))
+        .repartition(npart, "entity").persist()
+    )
+    nv = verts.count()
+    trans.count()
+    ranks0 = verts.select("entity", "dang",
+                          F.lit(1.0 / nv).alias("rank")).localCheckpoint()
+    p12 = fmt(_pr_step(verts, ranks0, trans, nv, 0.85, 0.0))
+    t12 = outer_tree(p12)
+    n_shuffles = len(re.findall(r"\bExchange\b", t12.replace(
+        "BroadcastExchange", "BCX")))
+    sections.append((
+        "pagerank distributed round (loop invariants cached, vertex-scale shuffles only)",
+        p12,
+        [
+            ("both loop-invariant sides read from cache",
+             t12.count("InMemoryTableScan") >= 2),
+            ("edge table never re-shuffled per round (<=3 vertex-scale shuffles)",
+             0 < n_shuffles <= 3),
+        ],
+    ))
+    trans.unpersist()
+    verts.unpersist()
+
+    # 13. k-hop: the frontier is broadcast, the adjacency streams in place
+    # (k_hop materializes each hop eagerly, so audit the hop join SHAPE it
+    # builds: broadcast frontier probing the checkpointed adjacency)
+    seed_df = edges_g.select(F.col("src").alias("entity")).limit(1)
+    hop_probe = (
+        edges_g.select("src", "dst").distinct().localCheckpoint()
+        .join(F.broadcast(seed_df.withColumnRenamed("entity", "src")), "src")
+    )
+    p13 = fmt(hop_probe)
+    sections.append((
+        "k_hop frontier expansion (broadcast probe over adjacency)", p13,
+        [
+            ("frontier broadcast-joined", "BroadcastHashJoin" in p13),
+            ("adjacency never shuffled",
+             "Exchange" not in outer_tree(p13).replace("BroadcastExchange",
+                                                       "BCX")),
+        ],
+    ))
+
+    # 14. recanonicalization: the canonical-id delta joins as broadcast
+    # maps over the triples stream — no sort-merge of the corpus-scale side
+    from char_ner_spark.incremental import recanonicalize_triples
+
+    trip_demo = spark.createDataFrame(
+        pd.DataFrame({
+            "subj": [1, 2, 3], "pred": ["p"] * 3, "obj": [4, 5, 6],
+            "url": ["u"] * 3, "sent_idx": [0, 1, 2], "conf": [0.9] * 3,
+        })
+    )
+    remap_demo = spark.createDataFrame(
+        pd.DataFrame({"old_canonical_id": [2], "new_canonical_id": [1]}))
+    p14 = fmt(recanonicalize_triples(trip_demo, remap_demo))
+    sections.append((
+        "recanonicalize_triples (broadcast remap, no corpus-side sort-merge)",
+        p14,
+        [
+            ("both remap joins broadcast", p14.count("BroadcastHashJoin") >= 2),
+            ("no sort-merge join", "SortMergeJoin" not in p14),
+        ],
+    ))
+
     out = ["# Physical plan audit (generated by tools/plan_audit.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
