@@ -38,6 +38,11 @@ from pyspark.sql import functions as F
 from . import lineage
 from .linking import normalize_surface
 
+#: copy-on-write rewrites of the streaming sink take part ids from here up
+#: — disjoint from any id the streaming checkpoint will ever assign, so a
+#: resumed stream can't dynamic-overwrite a rewritten part
+_STREAM_REWRITE_PID_BASE = 1 << 30
+
 #: above this many delta rows the contracted CC runs distributed (same
 #: dispatch rule as build_dictionary_state — the contracted graph is tiny
 #: relative to the dictionary, so the driver path covers even large
@@ -340,9 +345,12 @@ def apply_dictionary_update(
     snapshots referencing them expire; reclaim with
     :func:`~char_ner_spark.lineage.gc_orphan_parts`.
 
-    * ``triples`` — :func:`recanonicalize_triples` per part. Part-local
-      distinct is globally correct: work units partition pages by url, so
-      a (url, sent_idx) collision never spans parts.
+    * ``triples`` / ``stream_triples`` — :func:`recanonicalize_triples`
+      per part. Part-local distinct is globally correct: work units
+      partition pages by url (and the streaming file source delivers each
+      pages file to exactly one micro-batch), so a (url, sent_idx)
+      collision never spans parts. Stream rewrites take part ids from a
+      range disjoint from the streaming checkpoint's batch-id sequence.
     * ``edges`` — re-DERIVED from the rewritten triples part (remapping
       edge weights directly would double-count triples that collapse
       under the merge, because partial weights lose the per-triple key).
@@ -373,8 +381,11 @@ def apply_dictionary_update(
                     superseded: list[int]) -> None:
         base, prefix = lineage._table_base(out_dir, table)
         part_path = f"{base}/{prefix}={new_pid}"
-        df.withColumn("part_id", F.lit(new_pid)).write.mode(
-            "overwrite").parquet(part_path)
+        if prefix == "part_id":
+            # batch sinks embed part_id as a data column (commit_sink does);
+            # the streaming layout carries batch_id only in the dir name
+            df = df.withColumn("part_id", F.lit(new_pid))
+        df.write.mode("overwrite").parquet(part_path)
         back = spark.read.parquet(part_path)
         n, checksum = lineage.table_checksum(back)
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
@@ -392,13 +403,20 @@ def apply_dictionary_update(
             })
 
     for table in tables:
-        if table not in ("triples", "edges", "entities"):
-            continue  # mentions/stream sinks carry no canonical ids
+        if table not in ("triples", "stream_triples", "edges", "entities"):
+            continue  # the mentions sink carries no canonical ids
         snap = lineage.current_snapshot(out_dir, table=table)
         manifest = [p for p in snap.get("manifest", []) if p.get("rows", 1) > 0]
         if not manifest:
             continue
         next_pid = max(p["part_id"] for p in snap["manifest"]) + 1
+        if table == "stream_triples":
+            # micro-batch ids are an open-ended sequence owned by the
+            # streaming checkpoint: a resumed stream would claim max+1 next
+            # and dynamic-overwrite the rewritten part. Rewrites live in a
+            # disjoint id range instead (still int32 — batch_id partition
+            # values are inferred as int)
+            next_pid = max(next_pid, _STREAM_REWRITE_PID_BASE)
         base, prefix = lineage._table_base(out_dir, table)
         written: list[tuple[int, int]] = []
         if table == "entities" and alias_pdf is not None and canon is not None:
@@ -411,7 +429,7 @@ def apply_dictionary_update(
             written = [(p, next_pid) for p in old_pids]
         else:
             live = lineage.read_table(spark, out_dir, table)
-            if table == "triples":
+            if table in ("triples", "stream_triples"):
                 cond = ((live.subj == remap.old_canonical_id)
                         | (live.obj == remap.old_canonical_id))
             elif table == "edges":
@@ -420,14 +438,19 @@ def apply_dictionary_update(
             else:
                 cond = live.canonical_id == remap.old_canonical_id
             affected = sorted(
-                r.part_id
+                r[prefix]
                 for r in live.join(F.broadcast(remap), cond, "leftsemi")
-                .select("part_id").distinct().collect()
+                .select(prefix).distinct().collect()
             )
             for old_pid in affected:
                 part_df = spark.read.parquet(
                     f"{base}/{prefix}={old_pid}").drop("part_id")
-                if table == "triples":
+                if table == "stream_triples":
+                    # per-part distinct is globally safe for the stream too:
+                    # the file source delivers each pages file to exactly one
+                    # micro-batch, so a url never spans batch partitions
+                    new_df = recanonicalize_triples(part_df, remap)
+                elif table == "triples":
                     rewritten_triples[old_pid] = recanonicalize_triples(
                         part_df, remap).localCheckpoint()
                     new_df = rewritten_triples[old_pid]

@@ -277,3 +277,60 @@ def test_apply_dictionary_update_cow(spark, base_alias, tmp_path_factory):
     for p, _ in stats["triples"]["rewritten"]:
         assert not os.path.isdir(os.path.join(out_dir, "triples",
                                               f"part_id={p}"))
+
+
+def test_apply_dictionary_update_stream_sink(spark, base_alias,
+                                             tmp_path_factory):
+    """COW recanonicalization covers the streaming sink too: rewritten
+    parts land in the reserved id range (a resumed stream can never
+    dynamic-overwrite them), time travel keeps the pre-update state, GC
+    reclaims superseded batch dirs after expiry."""
+    import os
+
+    from char_ner_spark import lineage
+    from char_ner_spark import streaming as ST
+    from char_ner_spark.incremental import (_STREAM_REWRITE_PID_BASE,
+                                            apply_dictionary_update,
+                                            recanonicalize_triples,
+                                            update_dictionary_state)
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    d = str(tmp_path_factory.mktemp("stream_cow"))
+    src, out, ck = (os.path.join(d, n) for n in ("pages", "out", "ck"))
+    pages = make_pages(30, seed=7, alias_df=base_alias)
+    spark.createDataFrame(pages.iloc[:15]).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pages.iloc[15:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    ST.stream_triples(spark, src, base_alias, out, ck)
+
+    tbl = "stream_triples"
+    s0 = lineage.current_snapshot(out, table=tbl)["snapshot_id"]
+    before = lineage.read_table(spark, out, tbl).drop("batch_id").toPandas()
+    delta = _linked_bridge_delta(base_alias, before)
+    state = build_dictionary_state(spark, base_alias)
+    _, remap = update_dictionary_state(spark, state, base_alias, delta)
+    stats = apply_dictionary_update(spark, out, remap)
+    assert stats[tbl]["rewritten"], "bridge delta must touch stream parts"
+    assert all(new >= _STREAM_REWRITE_PID_BASE
+               for _, new in stats[tbl]["rewritten"])
+
+    key = lambda pdf: set(
+        map(tuple, pdf[["subj", "pred", "obj", "url", "sent_idx", "conf"]]
+            .round({"conf": 6}).itertuples(index=False))
+    )
+    after = lineage.read_table(spark, out, tbl).drop("batch_id").toPandas()
+    want = recanonicalize_triples(
+        spark.createDataFrame(before), remap).toPandas()
+    assert key(after) == key(want)
+    assert key(after) != key(before)
+    pinned = lineage.read_table(spark, out, tbl,
+                                snapshot_id=s0).drop("batch_id").toPandas()
+    assert key(pinned) == key(before)
+
+    assert lineage.gc_orphan_parts(spark, out, tbl) == []
+    lineage.expire_snapshots(out, table=tbl, keep_last=1)
+    removed = lineage.gc_orphan_parts(spark, out, tbl)
+    assert set(removed) == {p for p, _ in stats[tbl]["rewritten"]}
+    still = lineage.read_table(spark, out, tbl).drop("batch_id").toPandas()
+    assert key(still) == key(after)
