@@ -105,21 +105,15 @@ def incremental_canon(
                                           new_alias_pdf)
 
 
-def _incremental_canon_driver(
-    spark: SparkSession,
-    old_canon: DataFrame,
+def _incremental_canon_pure(
+    old_map: dict[int, int],
     old_alias_pdf: pd.DataFrame,
     new_alias_pdf: pd.DataFrame,
-) -> tuple[DataFrame, DataFrame]:
-    """Driver union-find over the contracted graph (delta is broadcast-
-    sized by contract — the dictionary itself already is, north_rule).
-    The old canonical map is collected once: dictionary-scale, the same
-    budget alias_spark_tables spends building the broadcast join table."""
-    canon_pdf = old_canon.toPandas()
-    old_map = dict(
-        zip(canon_pdf["entity_id"].astype("int64"),
-            canon_pdf["canonical_id"].astype("int64"))
-    )
+) -> tuple[dict[int, int], list[tuple[int, int]]]:
+    """The contraction + union-find core, Spark-free (so the property test
+    can fuzz it against linking.union_find_canonical at hundreds of random
+    dictionary/delta splits). Returns (new entity→canonical map, sorted
+    non-identity (old_canonical, new_canonical) remap rows)."""
     new_pairs = _normed_pairs(new_alias_pdf)
     touched = set(new_pairs["alias_norm"])
     old_pairs = _normed_pairs(old_alias_pdf)
@@ -165,6 +159,30 @@ def _incremental_canon_driver(
     remap_rows = sorted(
         (node, lab) for node, lab in label.items() if lab != node
     )
+    new_map = {eid: label.get(c, c) for eid, c in old_map.items()}
+    for eid, node in new_nodes.items():
+        if eid not in new_map:
+            new_map[eid] = label.get(node, node)
+    return new_map, remap_rows
+
+
+def _incremental_canon_driver(
+    spark: SparkSession,
+    old_canon: DataFrame,
+    old_alias_pdf: pd.DataFrame,
+    new_alias_pdf: pd.DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Driver union-find over the contracted graph (delta is broadcast-
+    sized by contract — the dictionary itself already is, north_rule).
+    The old canonical map is collected once: dictionary-scale, the same
+    budget alias_spark_tables spends building the broadcast join table."""
+    canon_pdf = old_canon.toPandas()
+    old_map = dict(
+        zip(canon_pdf["entity_id"].astype("int64"),
+            canon_pdf["canonical_id"].astype("int64"))
+    )
+    new_map, remap_rows = _incremental_canon_pure(old_map, old_alias_pdf,
+                                                  new_alias_pdf)
     remap = spark.createDataFrame(
         pd.DataFrame(remap_rows, columns=["old_canonical_id",
                                           "new_canonical_id"])
@@ -173,12 +191,6 @@ def _incremental_canon_driver(
                            "new_canonical_id": pd.Series(dtype="int64")}),
         schema="old_canonical_id long, new_canonical_id long",
     )
-    new_map = {
-        eid: label.get(c, c) for eid, c in old_map.items()
-    }
-    for eid, node in new_nodes.items():
-        if eid not in new_map:
-            new_map[eid] = label.get(node, node)
     items = sorted(new_map.items())
     new_canon = spark.createDataFrame(
         pd.DataFrame({"entity_id": [k for k, _ in items],

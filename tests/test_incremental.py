@@ -334,3 +334,47 @@ def test_apply_dictionary_update_stream_sink(spark, base_alias,
     assert set(removed) == {p for p, _ in stats[tbl]["rewritten"]}
     still = lineage.read_table(spark, out, tbl).drop("batch_id").toPandas()
     assert key(still) == key(after)
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: ANY dictionary/delta split must equal the full recompute
+# (pure core — no Spark in the loop, so hundreds of examples are cheap)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ALIAS_POOL = ["acme", "acme corp", "globex", "initech", "umbrella",
+               "wayne ent", "stark", "hooli", "pied piper", "aviato",
+               "x", "yz", ""]  # "" exercises the empty-norm group
+
+
+@st.composite
+def _dict_and_delta(draw):
+    n_base = draw(st.integers(1, 12))
+    n_delta = draw(st.integers(0, 8))
+    def rows(n, lo, hi):
+        return [(draw(st.integers(lo, hi)), draw(st.sampled_from(_ALIAS_POOL)))
+                for _ in range(n)]
+    # delta may reference existing entities (0..9), brand-new larger ids,
+    # and brand-new SMALLER ids (negative) that steal canonical labels
+    base = rows(n_base, 0, 9)
+    delta = rows(n_delta, -3, 15)
+    cols = ["entity_id", "alias"]
+    return (pd.DataFrame(base, columns=cols), pd.DataFrame(delta, columns=cols))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_dict_and_delta())
+def test_incremental_pure_core_fuzz(dd):
+    from char_ner_spark.incremental import _incremental_canon_pure
+
+    base, delta = dd
+    old_map = union_find_canonical(base)
+    new_map, remap_rows = _incremental_canon_pure(old_map, base, delta)
+    want = union_find_canonical(pd.concat([base, delta], ignore_index=True))
+    assert new_map == want
+    r = dict(remap_rows)
+    assert all(k != v for k, v in r.items())
+    for eid, c in old_map.items():
+        assert r.get(c, c) == want[eid]
