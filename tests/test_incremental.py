@@ -378,3 +378,64 @@ def test_incremental_pure_core_fuzz(dd):
     assert all(k != v for k, v in r.items())
     for eid, c in old_map.items():
         assert r.get(c, c) == want[eid]
+
+
+def test_apply_guard_edges_without_triples(spark, base_alias,
+                                           tmp_path_factory):
+    """Edges partials can't be recanonicalized alone (merged weights need
+    per-triple dedup) — fail loud, never silently remap."""
+    from char_ner_spark import lineage
+    from char_ner_spark.incremental import apply_dictionary_update
+
+    out_dir = str(tmp_path_factory.mktemp("edges_only"))
+    pages = make_pages(10, seed=7, alias_df=base_alias)
+    lineage.run_partitioned(spark, spark.createDataFrame(pages), base_alias,
+                            out_dir, n_parts=2, sinks=("edges",))
+    remap = spark.createDataFrame(
+        pd.DataFrame({"old_canonical_id": [1], "new_canonical_id": [0]}),
+        schema="old_canonical_id long, new_canonical_id long")
+    with pytest.raises(ValueError, match="without the triples sink"):
+        apply_dictionary_update(spark, out_dir, remap)
+
+
+def test_apply_empty_remap_is_noop(spark, base_alias, tmp_path_factory):
+    from char_ner_spark import lineage
+    from char_ner_spark.incremental import apply_dictionary_update
+
+    out_dir = str(tmp_path_factory.mktemp("noop"))
+    pages = make_pages(10, seed=7, alias_df=base_alias)
+    lineage.run_partitioned(spark, spark.createDataFrame(pages), base_alias,
+                            out_dir, n_parts=2, sinks=("triples",))
+    s0 = lineage.current_snapshot(out_dir)["snapshot_id"]
+    remap = spark.createDataFrame(
+        [], schema="old_canonical_id long, new_canonical_id long")
+    assert apply_dictionary_update(spark, out_dir, remap) == {}
+    assert lineage.current_snapshot(out_dir)["snapshot_id"] == s0
+
+
+def test_compaction_after_cow_preserves_content(spark, base_alias,
+                                                tmp_path_factory):
+    """compact_table over a COW-updated snapshot rewrites layout only —
+    checksums (hence snapshots, hence readers) are invariant."""
+    from char_ner_spark import lineage
+    from char_ner_spark.incremental import (apply_dictionary_update,
+                                            update_dictionary_state)
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    out_dir = str(tmp_path_factory.mktemp("cow_compact"))
+    pages = make_pages(30, seed=7, alias_df=base_alias)
+    lineage.run_partitioned(spark, spark.createDataFrame(pages), base_alias,
+                            out_dir, n_parts=3, sinks=("triples",))
+    before = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    delta = _linked_bridge_delta(base_alias, before)
+    state = build_dictionary_state(spark, base_alias)
+    _, remap = update_dictionary_state(spark, state, base_alias, delta)
+    stats = apply_dictionary_update(spark, out_dir, remap)
+    assert stats["triples"]["rewritten"]
+    after = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    lineage.compact_table(spark, out_dir, "triples")
+    key = lambda pdf: set(
+        map(tuple, pdf[["subj", "pred", "obj", "url", "sent_idx", "conf"]]
+            .round({"conf": 6}).itertuples(index=False)))
+    compacted = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    assert key(compacted) == key(after)
