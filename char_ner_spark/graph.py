@@ -277,3 +277,21 @@ def k_hop(edges: DataFrame, sources: DataFrame, k: int,
         ).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def triple_support(triples: DataFrame) -> DataFrame:
+    """Support/provenance rollup per DISTINCT (subj, pred, obj) →
+    (subj, pred, obj, n_mentions, n_urls, max_conf, mean_conf).
+
+    The KG-quality table consumers filter on (keep assertions seen on ≥k
+    distinct pages, rank by confidence). One hash aggregation with
+    map-side partials; n_urls is exact distinct within the group —
+    bounded by the group's mention count, so no sketch needed (swap in
+    approx_count_distinct if a pathological triple appears on a large
+    fraction of all pages)."""
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("url").alias("n_urls"),
+        F.max("conf").alias("max_conf"),
+        F.avg("conf").alias("mean_conf"),
+    )

@@ -201,3 +201,22 @@ def test_analytics_on_pipeline_graph(spark):
     seed_df = edges.select(F.col("src").alias("entity")).limit(1)
     hop = k_hop(edges, seed_df, k=2)
     assert hop.filter("dist = 0").count() == 1
+
+
+def test_triple_support_matches_pandas(spark):
+    from char_ner_spark.graph import triple_support
+
+    pdf = pd.DataFrame({
+        "subj": [1, 1, 1, 2], "pred": ["p", "p", "p", "q"],
+        "obj": [3, 3, 3, 4],
+        "url": ["u1", "u1", "u2", "u3"], "sent_idx": [0, 1, 0, 0],
+        "conf": [0.9, 0.7, 0.8, 0.5],
+    })
+    got = {(r.subj, r.pred, r.obj):
+           (r.n_mentions, r.n_urls, round(r.max_conf, 9),
+            round(r.mean_conf, 9))
+           for r in triple_support(spark.createDataFrame(pdf)).collect()}
+    assert got == {
+        (1, "p", 3): (3, 2, 0.9, round((0.9 + 0.7 + 0.8) / 3, 9)),
+        (2, "q", 4): (1, 1, 0.5, 0.5),
+    }
