@@ -30,6 +30,7 @@ delta:
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -334,6 +335,70 @@ def recanonicalize_triples(triples: DataFrame, remap: DataFrame) -> DataFrame:
     return out
 
 
+def _parts_min_max(base: str, prefix: str, pids: list[int],
+                   columns: tuple[str, ...]) -> dict[int, dict[str, tuple]]:
+    """Per-part (min, max) over ``columns`` from parquet FOOTER statistics —
+    no data IO, no Spark job. The Iceberg-style pruning input: a part whose
+    id ranges can't contain any remapped id is skipped without ever being
+    scanned. Parts with missing stats get no entry (treated as candidates
+    — pruning must stay conservative)."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, dict[str, tuple]] = {}
+    for pid in pids:
+        part_dir = f"{base}/{prefix}={pid}"
+        if not os.path.isdir(part_dir):
+            continue
+        agg: dict[str, tuple] = {}
+        ok = True
+        for fname in os.listdir(part_dir):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.read_metadata(os.path.join(part_dir, fname))
+            names = {meta.schema.column(i).name: i
+                     for i in range(meta.num_columns)}
+            for col in columns:
+                ci = names.get(col)
+                if ci is None:
+                    ok = False
+                    break
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo, hi = st.min, st.max
+                    cur = agg.get(col)
+                    agg[col] = (lo, hi) if cur is None else (
+                        min(cur[0], lo), max(cur[1], hi))
+                if not ok:
+                    break
+            if not ok:
+                break
+        if ok and len(agg) == len(columns):
+            out[pid] = agg
+    return out
+
+
+def _prune_parts_by_stats(base: str, prefix: str, pids: list[int],
+                          columns: tuple[str, ...],
+                          keys: set[int]) -> list[int]:
+    """Parts that COULD contain one of ``keys`` in any of ``columns`` per
+    footer min/max — a conservative superset of the truly affected parts
+    (the exact semi-join then runs over only these)."""
+    stats = _parts_min_max(base, prefix, pids, columns)
+    keep: list[int] = []
+    for pid in pids:
+        st = stats.get(pid)
+        if st is None:
+            keep.append(pid)  # no stats → cannot prune
+            continue
+        if any(any(st[c][0] <= k <= st[c][1] for k in keys)
+               for c in columns):
+            keep.append(pid)
+    return keep
+
+
 def apply_dictionary_update(
     spark: SparkSession,
     out_dir: str,
@@ -386,6 +451,10 @@ def apply_dictionary_update(
     remap = remap.localCheckpoint()  # consumed per part — compute CC once
     if remap.limit(1).count() == 0 and alias_pdf is None:
         return {}
+    # remapped ids to the driver once: bounded by touched components (the
+    # same broadcast-sized contract the per-part join relies on) — these
+    # drive the footer-stats pruning below
+    remap_keys = {int(r.old_canonical_id) for r in remap.collect()}
     stats: dict[str, dict] = {}
     rewritten_triples: dict[int, DataFrame] = {}
 
@@ -440,15 +509,30 @@ def apply_dictionary_update(
                         entities_table(spark, alias_pdf, canon), old_pids)
             written = [(p, next_pid) for p in old_pids]
         else:
-            live = lineage.read_table(spark, out_dir, table)
-            if table in ("triples", "stream_triples"):
-                cond = ((live.subj == remap.old_canonical_id)
-                        | (live.obj == remap.old_canonical_id))
-            elif table == "edges":
+            key_cols = {"triples": ("subj", "obj"),
+                        "stream_triples": ("subj", "obj"),
+                        "edges": ("src", "dst"),
+                        "entities": ("canonical_id",)}[table]
+            # Iceberg-style two-phase pruning: footer min/max stats drop
+            # every part whose id ranges can't contain a remapped id (no
+            # data IO), then the exact semi-join scans only the surviving
+            # candidates — O(metadata) + O(candidate parts), never a full
+            # table scan to locate the delta
+            pids = sorted(p["part_id"] for p in manifest)
+            candidates = _prune_parts_by_stats(base, prefix, pids, key_cols,
+                                               remap_keys)
+            if not candidates:
+                continue
+            live = spark.read.option("basePath", base).parquet(
+                *[f"{base}/{prefix}={p}" for p in candidates])
+            if table == "edges":
                 cond = ((live.src == remap.old_canonical_id)
                         | (live.dst == remap.old_canonical_id))
-            else:
+            elif table == "entities":
                 cond = live.canonical_id == remap.old_canonical_id
+            else:
+                cond = ((live.subj == remap.old_canonical_id)
+                        | (live.obj == remap.old_canonical_id))
             affected = sorted(
                 r[prefix]
                 for r in live.join(F.broadcast(remap), cond, "leftsemi")

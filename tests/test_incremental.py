@@ -439,3 +439,38 @@ def test_compaction_after_cow_preserves_content(spark, base_alias,
             .round({"conf": 6}).itertuples(index=False)))
     compacted = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
     assert key(compacted) == key(after)
+
+
+def test_footer_stats_pruning(spark, tmp_path):
+    """Footer min/max pruning keeps exactly the parts whose id ranges can
+    contain a remapped id — and stays conservative when stats are absent."""
+    from char_ner_spark.incremental import (_parts_min_max,
+                                            _prune_parts_by_stats)
+
+    base = str(tmp_path / "t")
+    mk = lambda lo, n: pd.DataFrame({
+        "subj": range(lo, lo + n), "pred": ["p"] * n,
+        "obj": range(lo + 100, lo + 100 + n),
+    })
+    spark.createDataFrame(mk(0, 5)).coalesce(1).write.parquet(
+        f"{base}/part_id=0")
+    spark.createDataFrame(mk(1000, 5)).coalesce(1).write.parquet(
+        f"{base}/part_id=1")
+    stats = _parts_min_max(base, "part_id", [0, 1], ("subj", "obj"))
+    assert stats[0]["subj"] == (0, 4) and stats[0]["obj"] == (100, 104)
+    assert stats[1]["subj"] == (1000, 1004)
+    # key 1002 hits only part 1's subj range
+    assert _prune_parts_by_stats(base, "part_id", [0, 1], ("subj", "obj"),
+                                 {1002}) == [1]
+    # key 103 hits only part 0's obj range
+    assert _prune_parts_by_stats(base, "part_id", [0, 1], ("subj", "obj"),
+                                 {103}) == [0]
+    # key outside every range prunes everything
+    assert _prune_parts_by_stats(base, "part_id", [0, 1], ("subj", "obj"),
+                                 {500}) == []
+    # a column missing from the files → conservative keep
+    assert _prune_parts_by_stats(base, "part_id", [0, 1],
+                                 ("subj", "nope"), {500}) == [0, 1]
+    # a missing part dir gets no stats entry and is kept
+    assert _prune_parts_by_stats(base, "part_id", [0, 7], ("subj",),
+                                 {2}) == [0, 7]
