@@ -14,6 +14,8 @@ first, or the escapes themselves would be re-escaped).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -93,3 +95,23 @@ def write_ntriples(lines: DataFrame, path: str) -> None:
     """Distributed text write of an N-Triples frame (one ``.nt`` shard per
     partition — concatenation-safe by format definition)."""
     lines.write.mode("overwrite").text(path)
+
+
+def read_ntriples(spark, path: str, base: str = BASE) -> DataFrame:
+    """Parse an N-Triples export back to (subj, pred, obj) — the ingestion
+    side of the round trip, for graphs produced by this engine (entity/pred
+    IRIs under ``base``). Pure JVM regexp extraction over a distributed
+    text read; label/sameAs statements (non-entity objects) are excluded
+    by the match. Lines that don't match the entity-triple shape yield no
+    row (regexp_extract returns '' → filtered)."""
+    esc = re.escape(base)
+    pat = (rf"^<{esc}entity/(\d+)> <{esc}pred/([a-z_]+)> "
+           rf"<{esc}entity/(\d+)> \.$")
+    lines = spark.read.text(path)
+    out = lines.select(
+        F.regexp_extract("value", pat, 1).alias("s"),
+        F.regexp_extract("value", pat, 2).alias("pred"),
+        F.regexp_extract("value", pat, 3).alias("o"),
+    ).filter("s != '' AND o != ''")
+    return out.select(F.col("s").cast("long").alias("subj"), "pred",
+                      F.col("o").cast("long").alias("obj"))

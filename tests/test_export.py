@@ -84,3 +84,30 @@ def test_export_pipeline_kg(spark, tmp_path):
     bad = [l for l in back if not _NT_LINE.match(l)]
     assert bad == [], bad[:3]
     assert sum("kg.local/pred/" in l for l in back) == n_triples
+
+
+def test_ntriples_reader_roundtrip(spark, tmp_path):
+    """write_ntriples → read_ntriples recovers exactly the distinct
+    (subj, pred, obj) set; label/sameAs lines are skipped by the parse."""
+    from char_ner_spark.export import (entities_to_ntriples, read_ntriples,
+                                      triples_to_ntriples, write_ntriples)
+
+    tr = pd.DataFrame({
+        "subj": [1, 2, 2], "pred": ["works_for", "located_in", "located_in"],
+        "obj": [3, 4, 4], "url": ["u1", "u2", "u3"], "sent_idx": [0, 0, 1],
+        "conf": [0.9, 0.8, 0.7],
+    })
+    en = pd.DataFrame({
+        "entity_id": [1, 2], "canonical_id": [1, 1],
+        "canonical_name": ["Acme", "Acme Corp"], "lang": ["en", "en"],
+    })
+    path = str(tmp_path / "nt")
+    write_ntriples(
+        triples_to_ntriples(spark.createDataFrame(tr)).unionAll(
+            entities_to_ntriples(spark.createDataFrame(en))), path)
+    got = set(map(tuple, read_ntriples(spark, path).toPandas()
+                  .itertuples(index=False)))
+    want = set(map(tuple,
+                   tr[["subj", "pred", "obj"]].drop_duplicates()
+                   .itertuples(index=False)))
+    assert got == want
