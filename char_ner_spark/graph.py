@@ -295,3 +295,25 @@ def triple_support(triples: DataFrame) -> DataFrame:
         F.max("conf").alias("max_conf"),
         F.avg("conf").alias("mean_conf"),
     )
+
+
+def weakly_connected_components(edges: DataFrame) -> DataFrame:
+    """Weakly-connected components of the entity graph → (entity,
+    component), component = min entity id of the component (the same
+    min-label convention as the canonicalization stage).
+
+    Thin adapter over the pipeline's iterative CC operator (min-label
+    propagation + pointer jumping, O(log diameter) rounds, observed
+    convergence) — the graph-consumer surface for "which entities form
+    one connected cluster" over the MATERIALIZED graph, as opposed to the
+    dictionary-side alias graph the pipeline canonicalizes."""
+    from .pipeline import connected_components
+
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, edges.select("src", "dst").distinct())
+    return cc.select(F.col("entity_id").alias("entity"),
+                     F.col("canonical_id").alias("component"))

@@ -220,3 +220,29 @@ def test_triple_support_matches_pandas(spark):
         (1, "p", 3): (3, 2, 0.9, round((0.9 + 0.7 + 0.8) / 3, 9)),
         (2, "q", 4): (1, 1, 0.5, 0.5),
     }
+
+
+def test_weakly_connected_components_matches_union_find(spark, edges_df,
+                                                        edges_pdf):
+    from char_ner_spark.graph import weakly_connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges_pdf[["src", "dst"]].itertuples(index=False):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    comp_min: dict[int, int] = {}
+    for v in list(parent):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+    got = {r.entity: r.component
+           for r in weakly_connected_components(edges_df).collect()}
+    assert got == want

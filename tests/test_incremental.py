@@ -474,3 +474,55 @@ def test_footer_stats_pruning(spark, tmp_path):
     # a missing part dir gets no stats entry and is kept
     assert _prune_parts_by_stats(base, "part_id", [0, 7], ("subj",),
                                  {2}) == [0, 7]
+
+
+def test_sequential_deltas_compose(spark, base_alias, tmp_path_factory):
+    """Two dictionary deltas applied one after another — both to the canon
+    state and via COW to the stored triples — must equal the one-shot
+    recompute over the full union. Exercises repeated COW on the same
+    out_dir (part-id continuation, manifest/heal convergence)."""
+    from char_ner_spark import lineage
+    from char_ner_spark.incremental import (apply_dictionary_update,
+                                            update_dictionary_state)
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    out_dir = str(tmp_path_factory.mktemp("seq"))
+    pages = make_pages(30, seed=7, alias_df=base_alias)
+    lineage.run_partitioned(spark, spark.createDataFrame(pages), base_alias,
+                            out_dir, n_parts=3, sinks=("triples",))
+    before = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    d1 = _linked_bridge_delta(base_alias, before)
+    state0 = build_dictionary_state(spark, base_alias)
+    state1, remap1 = update_dictionary_state(spark, state0, base_alias, d1)
+    apply_dictionary_update(spark, out_dir, remap1)
+    mid = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+
+    a1 = pd.concat([base_alias, d1], ignore_index=True)
+    d2 = _linked_bridge_delta(a1, mid)
+    state2, remap2 = update_dictionary_state(spark, state1, a1, d2)
+    apply_dictionary_update(spark, out_dir, remap2)
+    final = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+
+    # canon state after two increments == from-scratch over the full union
+    want_canon = union_find_canonical(
+        pd.concat([base_alias, d1, d2], ignore_index=True))
+    assert _canon_dict(state2["canon"]) == want_canon
+
+    # stored triples after two COW passes == one combined remap of the
+    # original materialization
+    from char_ner_spark.incremental import (incremental_canon,
+                                            recanonicalize_triples)
+    _, remap_combined = incremental_canon(
+        spark, state0["canon"], base_alias,
+        pd.concat([d1, d2], ignore_index=True))
+    key = lambda pdf: set(
+        map(tuple, pdf[["subj", "pred", "obj", "url", "sent_idx", "conf"]]
+            .round({"conf": 6}).itertuples(index=False)))
+    want = recanonicalize_triples(
+        spark.createDataFrame(before), remap_combined).toPandas()
+    assert key(final) == key(want)
+
+    # resume on the twice-updated dir is still a no-op
+    assert lineage.run_partitioned(
+        spark, spark.createDataFrame(pages), base_alias, out_dir,
+        n_parts=3, sinks=("triples",)) == []
