@@ -644,3 +644,116 @@ def gc_orphan_parts(spark: SparkSession, out_dir: str,
             shutil.rmtree(os.path.join(base, d))
             removed.append(pid)
     return removed
+
+
+#: ingested corpus slices take part ids from here: disjoint from the
+#: original unit range [0, n_parts) and from the COW rewrite ranges, and
+#: deterministic per (ingest_id, unit) so a crashed ingest RESUMES instead
+#: of duplicating (pid = base + ingest_id * stride + unit)
+INGEST_PID_BASE = 1 << 20
+INGEST_PID_STRIDE = 1 << 10
+
+
+def ingest_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_pdf: pd.DataFrame,
+    out_dir: str,
+    ingest_id: int,
+    n_units: int = 1,
+    weights_map: dict | None = None,
+    fail_after: int | None = None,
+    retain: int | None = None,
+) -> list[dict]:
+    """Append a NEW corpus slice to an existing batch output — the batch
+    layout's corpus-delta path (the streaming sink covers continuous
+    ingest; this covers 'a new crawl slice arrived for an out_dir built
+    by run_partitioned').
+
+    Contract: the slice's urls are disjoint from everything already in
+    ``out_dir`` (same invariant the original unit partitioning guarantees
+    between units — a repeated url would duplicate its triples; dedupe
+    upstream). Part ids are allocated DETERMINISTICALLY as
+    ``INGEST_PID_BASE + ingest_id * INGEST_PID_STRIDE + unit``, so:
+
+    * they never collide with the original units, another ingest_id, or
+      the COW-rewrite ranges;
+    * re-running the same (ingest_id, pages) after a crash resumes —
+      committed units are found in the manifest and skipped, exactly like
+      run_partitioned (``fail_after`` injects a crash for tests);
+    * the resume guard is untouched: snapshots keep the ORIGINAL n_parts,
+      and a later run_partitioned over the original pages is still a
+      no-op.
+
+    Sinks follow what the out_dir already materializes (triples and, when
+    present, edges/mentions); the unit-invariant entities dimension is
+    dictionary-side and unchanged by a corpus delta. Returns the manifest
+    rows written."""
+    import threading
+
+    from .pipeline import build_dictionary_state, run_pipeline
+
+    if ingest_id < 0 or n_units < 1 or n_units > INGEST_PID_STRIDE:
+        raise ValueError(
+            f"ingest_id >= 0 and 1 <= n_units <= {INGEST_PID_STRIDE} required")
+    present = [t for t in snapshot_tables(out_dir)
+               if t in ("triples", "edges", "mentions")]
+    if not present:
+        raise ValueError(
+            f"{out_dir} has no batch sinks to ingest into (found "
+            f"{snapshot_tables(out_dir)}); run run_partitioned first")
+    snaps = {t: current_snapshot(out_dir, table=t) for t in present}
+    n_parts_orig = next(
+        (s.get("n_parts") for s in snaps.values() if s is not None), None)
+    for t, s in snaps.items():
+        if s is not None and s.get("checksum_ver") != CHECKSUM_VER:
+            raise ValueError(
+                f"{out_dir} ({t}) carries checksum recipe "
+                f"v{s.get('checksum_ver')}; cannot append comparable parts")
+    done = {t: completed_parts(spark, out_dir, t) for t in present}
+    base_pid = INGEST_PID_BASE + ingest_id * INGEST_PID_STRIDE
+    staged = pages.withColumn(
+        "unit", F.pmod(F.xxhash64("url"), F.lit(n_units)).cast("int"))
+    dict_state = build_dictionary_state(spark, alias_pdf)
+    lock = threading.Lock()
+    written: list[dict] = []
+
+    def commit(table: str, pid: int, df: DataFrame, rows_in: int) -> None:
+        part_path = os.path.join(out_dir, table, f"part_id={pid}")
+        df.withColumn("part_id", F.lit(pid)).write.mode(
+            "overwrite").parquet(part_path)
+        back = spark.read.parquet(part_path)
+        n, checksum = table_checksum(back)
+        row = {
+            "stage": table, "part_id": pid, "rows_in": rows_in,
+            "rows_out": n, "checksum": checksum,
+            "completed_at": dt.datetime.now(dt.timezone.utc).replace(
+                tzinfo=None),
+        }
+        with lock:
+            append_manifest(spark, out_dir, row)
+            write_snapshot(spark, out_dir, n_parts_orig, table=table,
+                           schema_json=back.schema.json(),
+                           add_part={"part_id": pid, "rows": n,
+                                     "checksum": checksum},
+                           retain=retain)
+            written.append(row)
+
+    pending = [
+        u for u in range(n_units)
+        if any(base_pid + u not in done[t] for t in present)
+    ]
+    for i, u in enumerate(pending):
+        if fail_after is not None and i >= fail_after:
+            raise RuntimeError(f"injected failure before ingest unit {u}")
+        slice_df = staged.filter(F.col("unit") == u).drop("unit")
+        obs = Observation(f"ingest_{ingest_id}_{u}")
+        slice_df = slice_df.observe(obs, F.count(F.lit(1)).alias("rows_in"))
+        out = run_pipeline(spark, slice_df, alias_pdf,
+                           dict_state=dict_state, weights_map=weights_map)
+        for t in present:
+            if base_pid + u in done[t]:
+                continue
+            commit(t, base_pid + u, out[t], int(obs.get["rows_in"]))
+        out["mentions"].unpersist()
+    return sorted(written, key=lambda r: (r["stage"], r["part_id"]))
