@@ -89,6 +89,20 @@ def main() -> int:
     gc_after = lineage.gc_orphan_parts(spark, out_dir, "triples")
     still = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
 
+    # corpus delta: ingest a fresh crawl slice into the same out_dir
+    extra = make_pages(n_pages + 20, seed=13, alias_df=alias).iloc[n_pages:]
+    ingested = lineage.ingest_pages(spark, spark.createDataFrame(extra),
+                                    union_pdf, out_dir, ingest_id=0,
+                                    n_units=2)
+    with_delta = lineage.read_triples(spark, out_dir).drop(
+        "part_id").toPandas()
+
+    # dictionary removal: drop the bridge alias again — the component must
+    # split back, and the split must be REPORTED, not guessed into triples
+    from char_ner_spark.removal import remove_aliases
+    _, rm_remap, splits = remove_aliases(
+        spark, new_state, union_pdf, delta)
+
     result = {
         "triples_before": len(before),
         "triples_after": len(after),
@@ -101,13 +115,21 @@ def main() -> int:
         "gc_while_referenced": gc_before,
         "gc_after_expiry": gc_after,
         "latest_survives_gc": key(still) == key(after),
+        "ingested_parts": len(ingested),
+        "ingest_grew_table": len(with_delta) > len(still),
+        "ingest_no_duplicates": len(with_delta) == len(key(with_delta)),
+        "removal_splits_reported": bool(splits) and rm_remap.count() >= 1,
     }
     ok = (result["latest_matches_remap"] and result["update_changed_table"]
           and result["time_travel_intact"]
           and result["edges_rederived_consistent"]
           and result["gc_while_referenced"] == []
           and len(result["gc_after_expiry"]) > 0
-          and result["latest_survives_gc"])
+          and result["latest_survives_gc"]
+          and result["ingested_parts"] > 0
+          and result["ingest_grew_table"]
+          and result["ingest_no_duplicates"]
+          and result["removal_splits_reported"])
     result["ok"] = ok
     print(json.dumps(result))
     spark.stop()
