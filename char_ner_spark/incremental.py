@@ -44,6 +44,13 @@ from .linking import normalize_surface
 #: resumed stream can't dynamic-overwrite a rewritten part
 _STREAM_REWRITE_PID_BASE = 1 << 30
 
+#: batch-sink rewrites take ids from here up — above every original unit
+#: AND every ingest range (lineage.ingest_pages bounds ingest ids below
+#: this). Allocating max(manifest)+1 instead could creep into a FUTURE
+#: ingest_id's deterministic range, and that ingest would then find its
+#: pid already manifested and silently skip the unit
+_BATCH_REWRITE_PID_BASE = 1 << 28
+
 #: above this many delta rows the contracted CC runs distributed (same
 #: dispatch rule as build_dictionary_state — the contracted graph is tiny
 #: relative to the dictionary, so the driver path covers even large
@@ -498,6 +505,9 @@ def apply_dictionary_update(
             # disjoint id range instead (still int32 — batch_id partition
             # values are inferred as int)
             next_pid = max(next_pid, _STREAM_REWRITE_PID_BASE)
+        else:
+            # keep clear of every deterministic ingest range (see constant)
+            next_pid = max(next_pid, _BATCH_REWRITE_PID_BASE)
         base, prefix = lineage._table_base(out_dir, table)
         written: list[tuple[int, int]] = []
         if table == "entities" and alias_pdf is not None and canon is not None:

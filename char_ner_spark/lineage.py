@@ -652,6 +652,10 @@ def gc_orphan_parts(spark: SparkSession, out_dir: str,
 #: of duplicating (pid = base + ingest_id * stride + unit)
 INGEST_PID_BASE = 1 << 20
 INGEST_PID_STRIDE = 1 << 10
+#: highest permitted ingest_id: every ingest pid must stay below the
+#: batch copy-on-write rewrite range (incremental._BATCH_REWRITE_PID_BASE
+#: = 1 << 28) — a pid that crossed into it could collide with a rewrite
+INGEST_MAX_ID = ((1 << 28) - INGEST_PID_BASE) // INGEST_PID_STRIDE - 1
 
 
 def ingest_pages(
@@ -693,9 +697,12 @@ def ingest_pages(
 
     from .pipeline import build_dictionary_state, run_pipeline
 
-    if ingest_id < 0 or n_units < 1 or n_units > INGEST_PID_STRIDE:
+    if not (0 <= ingest_id <= INGEST_MAX_ID) or not (
+            1 <= n_units <= INGEST_PID_STRIDE):
         raise ValueError(
-            f"ingest_id >= 0 and 1 <= n_units <= {INGEST_PID_STRIDE} required")
+            f"0 <= ingest_id <= {INGEST_MAX_ID} and 1 <= n_units <= "
+            f"{INGEST_PID_STRIDE} required (ids above the bound would "
+            "collide with the copy-on-write rewrite range)")
     present = [t for t in snapshot_tables(out_dir)
                if t in ("triples", "edges", "mentions")]
     if not present:

@@ -90,3 +90,41 @@ def test_ingest_requires_batch_sinks(spark, corpus, tmp_path_factory):
     with pytest.raises(ValueError, match="no batch sinks"):
         lineage.ingest_pages(spark, spark.createDataFrame(pages.iloc[:5]),
                              alias, out_dir, ingest_id=0)
+
+
+def test_cow_after_ingest_keeps_future_ingest_ranges_clear(
+        spark, corpus, tmp_path_factory):
+    """A COW rewrite on an ingested out_dir must allocate from the
+    reserved rewrite range, never creep into a later ingest_id's
+    deterministic pid range (which would make that ingest silently skip
+    its unit)."""
+    from char_ner_spark import lineage
+    from char_ner_spark.incremental import (_BATCH_REWRITE_PID_BASE,
+                                            apply_dictionary_update,
+                                            update_dictionary_state)
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    alias, pages = corpus
+    out_dir = str(tmp_path_factory.mktemp("cow_ingest"))
+    lineage.run_partitioned(spark, spark.createDataFrame(pages.iloc[:20]),
+                            alias, out_dir, n_parts=2, sinks=("triples",))
+    lineage.ingest_pages(spark, spark.createDataFrame(pages.iloc[20:40]),
+                         alias, out_dir, ingest_id=0, n_units=1)
+    before = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    import tests.test_incremental as TI
+
+    delta = TI._linked_bridge_delta(alias, before)
+    state = build_dictionary_state(spark, alias)
+    _, remap = update_dictionary_state(spark, state, alias, delta)
+    stats = apply_dictionary_update(spark, out_dir, remap)
+    assert stats["triples"]["rewritten"]
+    assert all(new >= _BATCH_REWRITE_PID_BASE
+               for _, new in stats["triples"]["rewritten"])
+    # a later ingest_id still lands all its units
+    rows = lineage.ingest_pages(
+        spark, spark.createDataFrame(pages.iloc[40:]), alias, out_dir,
+        ingest_id=1, n_units=1)
+    assert len(rows) == 1
+    with pytest.raises(ValueError, match="collide"):
+        lineage.ingest_pages(spark, spark.createDataFrame(pages.iloc[40:]),
+                             alias, out_dir, ingest_id=10**9)
