@@ -406,6 +406,147 @@ def _prune_parts_by_stats(base: str, prefix: str, pids: list[int],
     return keep
 
 
+def _cow_commit(spark: SparkSession, out_dir: str, table: str, new_pid: int,
+                df: DataFrame, superseded: list[int]) -> None:
+    """One copy-on-write part commit: write the new part directory, record
+    it in the lineage manifest, tombstone the superseded parts (the latest
+    manifest row per part wins in the heal path, and zero-row parts never
+    reach the reader)."""
+    base, prefix = lineage._table_base(out_dir, table)
+    part_path = f"{base}/{prefix}={new_pid}"
+    if prefix == "part_id":
+        # batch sinks embed part_id as a data column (commit_sink does);
+        # the streaming layout carries batch_id only in the dir name
+        df = df.withColumn("part_id", F.lit(new_pid))
+    df.write.mode("overwrite").parquet(part_path)
+    back = spark.read.parquet(part_path)
+    n, checksum = lineage.table_checksum(back)
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    lineage.append_manifest(spark, out_dir, {
+        "stage": table, "part_id": new_pid, "rows_in": n, "rows_out": n,
+        "checksum": checksum, "completed_at": now,
+    })
+    for old_pid in superseded:
+        lineage.append_manifest(spark, out_dir, {
+            "stage": table, "part_id": old_pid, "rows_in": 0,
+            "rows_out": 0, "checksum": f"superseded-by:{new_pid}",
+            "completed_at": now + dt.timedelta(microseconds=1),
+        })
+
+
+def relink_parts(
+    spark: SparkSession,
+    out_dir: str,
+    dict_state: dict[str, DataFrame],
+    alias_pdf: pd.DataFrame,
+    canon_ids: set[int],
+    retain: int | None = None,
+) -> dict[str, dict]:
+    """Re-derive triples (and edges) for the parts whose stored triples
+    reference any of ``canon_ids`` — from the MENTIONS sink, skipping the
+    tagger entirely (the expensive stage; mentions carry the adjacency the
+    triple stage needs).
+
+    This is the repair path a dictionary REMOVAL requires: a removed
+    alias row can change link winners (and split components), which a
+    canonical-id remap cannot express — the stored triple has lost which
+    entity its mention actually matched. Re-linking the affected parts'
+    mentions against the reduced dictionary recomputes exactly what a
+    from-scratch run would produce (test-enforced), while untouched parts
+    are never read (footer-stats pruning + semi-join, same as
+    :func:`apply_dictionary_update`). Commits are copy-on-write with the
+    same tombstone protocol, so time travel and crash-heal behave
+    identically. Pass ``canon_ids`` from
+    :func:`~char_ner_spark.removal.stale_canonical_ids` (∪ the split
+    piece ids, conservatively).
+
+    Requires the ``mentions`` and ``triples`` sinks. The unit-invariant
+    entities dimension is refreshed from ``alias_pdf`` + the new canon
+    when the sink exists.
+    """
+    from .pipeline import (edges_from_triples, entities_table,
+                           extract_triples, link_pairs, middles_table)
+
+    tables = lineage.snapshot_tables(out_dir)
+    for need in ("mentions", "triples"):
+        if need not in tables:
+            raise ValueError(
+                f"relink_parts needs the '{need}' sink in {out_dir} "
+                f"(found {tables}); re-run with sinks including it"
+            )
+    if not canon_ids:
+        return {}
+    snap = lineage.current_snapshot(out_dir, table="triples")
+    manifest = [p for p in snap.get("manifest", []) if p.get("rows", 1) > 0]
+    if not manifest:
+        return {}
+    base, prefix = lineage._table_base(out_dir, "triples")
+    pids = sorted(p["part_id"] for p in manifest)
+    candidates = _prune_parts_by_stats(base, prefix, pids, ("subj", "obj"),
+                                       set(canon_ids))
+    affected: list[int] = []
+    if candidates:
+        live = spark.read.option("basePath", base).parquet(
+            *[f"{base}/{prefix}={p}" for p in candidates])
+        ids_df = F.broadcast(spark.createDataFrame(
+            pd.DataFrame({"cid": sorted(canon_ids)}), schema="cid long"))
+        affected = sorted(
+            r[prefix]
+            for r in live.join(ids_df, (live.subj == F.col("cid"))
+                               | (live.obj == F.col("cid")), "leftsemi")
+            .select(prefix).distinct().collect()
+        )
+    stats: dict[str, dict] = {}
+    if affected:
+        next_pid = max(max(p["part_id"] for p in snap["manifest"]) + 1,
+                       _BATCH_REWRITE_PID_BASE)
+        middles = middles_table(spark)
+        mbase, _ = lineage._table_base(out_dir, "mentions")
+        written = {"triples": [], "edges": []}
+        for old_pid in affected:
+            mdir = f"{mbase}/{prefix}={old_pid}"
+            if not os.path.isdir(mdir):
+                raise FileNotFoundError(
+                    f"mentions part {old_pid} missing at {mdir}; cannot "
+                    "re-link its triples"
+                )
+            mentions = spark.read.parquet(mdir).drop("part_id")
+            linked = link_pairs(mentions,
+                                {"bands": dict_state["bands"]},
+                                alias_pdf=alias_pdf)
+            new_triples = extract_triples(
+                linked, dict_state["canon"], middles).localCheckpoint()
+            _cow_commit(spark, out_dir, "triples", next_pid, new_triples,
+                        [old_pid])
+            written["triples"].append((old_pid, next_pid))
+            if "edges" in tables:
+                _cow_commit(spark, out_dir, "edges", next_pid,
+                            edges_from_triples(new_triples), [old_pid])
+                written["edges"].append((old_pid, next_pid))
+            next_pid += 1
+        for t, w in written.items():
+            if w:
+                n = lineage.write_snapshot(spark, out_dir,
+                                           snap.get("n_parts"), table=t,
+                                           retain=retain)
+                stats[t] = {"rewritten": w, "snapshot_id": n}
+    if "entities" in tables:
+        esnap = lineage.current_snapshot(out_dir, table="entities")
+        old_pids = sorted(p["part_id"] for p in esnap.get("manifest", [])
+                          if p.get("rows", 1) > 0)
+        if old_pids:
+            epid = max(max(p["part_id"] for p in esnap["manifest"]) + 1,
+                       _BATCH_REWRITE_PID_BASE)
+            _cow_commit(spark, out_dir, "entities", epid,
+                        entities_table(spark, alias_pdf,
+                                       dict_state["canon"]), old_pids)
+            n = lineage.write_snapshot(spark, out_dir, esnap.get("n_parts"),
+                                       table="entities", retain=retain)
+            stats["entities"] = {"rewritten": [(p, epid) for p in old_pids],
+                                 "snapshot_id": n}
+    return stats
+
+
 def apply_dictionary_update(
     spark: SparkSession,
     out_dir: str,
@@ -467,28 +608,7 @@ def apply_dictionary_update(
 
     def commit_part(table: str, new_pid: int, df: DataFrame,
                     superseded: list[int]) -> None:
-        base, prefix = lineage._table_base(out_dir, table)
-        part_path = f"{base}/{prefix}={new_pid}"
-        if prefix == "part_id":
-            # batch sinks embed part_id as a data column (commit_sink does);
-            # the streaming layout carries batch_id only in the dir name
-            df = df.withColumn("part_id", F.lit(new_pid))
-        df.write.mode("overwrite").parquet(part_path)
-        back = spark.read.parquet(part_path)
-        n, checksum = lineage.table_checksum(back)
-        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        lineage.append_manifest(spark, out_dir, {
-            "stage": table, "part_id": new_pid, "rows_in": n, "rows_out": n,
-            "checksum": checksum, "completed_at": now,
-        })
-        # tombstone the superseded parts: the latest manifest row per part
-        # wins in the heal path, and zero-row parts never reach the reader
-        for old_pid in superseded:
-            lineage.append_manifest(spark, out_dir, {
-                "stage": table, "part_id": old_pid, "rows_in": 0,
-                "rows_out": 0, "checksum": f"superseded-by:{new_pid}",
-                "completed_at": now + dt.timedelta(microseconds=1),
-            })
+        _cow_commit(spark, out_dir, table, new_pid, df, superseded)
 
     for table in tables:
         if table not in ("triples", "stream_triples", "edges", "entities"):

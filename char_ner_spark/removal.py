@@ -136,3 +136,24 @@ def _remove_pure(
     assert all(oc in splits for oc, _ in remap_rows), (
         "non-split relabel under removal violates min-id invariance")
     return new_map, remap_rows, splits
+
+
+def stale_canonical_ids(dict_state: dict[str, DataFrame],
+                        removed_pdf: pd.DataFrame) -> set[int]:
+    """Canonical ids whose materialized triples may be stale after the
+    removal — the OLD canonical of every entity that lost an alias row.
+
+    This is deliberately broader than the split set: deleting a WINNING
+    alias row changes which entity a surface links to even when the
+    component stays connected (canon map unchanged, remap empty), so any
+    triple referencing a touched component may need re-deriving. Triples
+    outside these components are provably unaffected: a removal only
+    shrinks candidate sets, a shrunk set changes the winner only if the
+    old winner was the removed row (whose canonical id IS a touched id),
+    and an unlinked mention can never become linked by a removal. Feed
+    the result to :func:`~char_ner_spark.incremental.relink_parts`."""
+    canon_pdf = dict_state["canon"].toPandas()
+    old_map = dict(zip(canon_pdf["entity_id"].astype("int64"),
+                       canon_pdf["canonical_id"].astype("int64")))
+    return {old_map[int(e)] for e in removed_pdf["entity_id"]
+            if int(e) in old_map}

@@ -122,3 +122,74 @@ def test_removal_pure_core_fuzz(dd):
     for old_c, pieces in splits.items():
         assert len(pieces) > 1 and old_c in pieces
     assert all(oc in splits for oc, _ in remap_rows)
+
+
+def test_removal_relink_equals_full_recompute(spark, tmp_path_factory):
+    """The full removal repair path: remove an alias row, re-link the
+    affected parts from the mentions sink — the result must equal a
+    from-scratch run over the reduced dictionary (winners may change even
+    without a split, which no canonical-id remap can express)."""
+    from char_ner_spark import lineage
+    from char_ner_spark.fixtures import make_alias_table, make_pages
+    from char_ner_spark.incremental import relink_parts
+    from char_ner_spark.linking import normalize_surface
+    from char_ner_spark.pipeline import build_dictionary_state, run_pipeline
+    from char_ner_spark.removal import remove_aliases, stale_canonical_ids
+
+    alias = make_alias_table(60, seed=23)
+    pages = make_pages(40, seed=23, alias_df=alias)
+    out_dir = str(tmp_path_factory.mktemp("relink"))
+    lineage.run_partitioned(
+        spark, spark.createDataFrame(pages), alias, out_dir, n_parts=3,
+        sinks=("triples", "edges", "mentions", "entities"))
+    s0 = lineage.current_snapshot(out_dir)["snapshot_id"]
+    before = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    present = set(before["subj"]) | set(before["obj"])
+    old = union_find_canonical(alias)
+    # an alias row of an entity whose component is materialized in triples
+    cand = [i for i in alias.index
+            if old[int(alias.loc[i, "entity_id"])] in present]
+    assert cand, "fixture must materialize some dictionary component"
+    removed = alias.loc[[cand[0]]]
+
+    state = build_dictionary_state(spark, alias)
+    new_state, remap, splits = remove_aliases(spark, state, alias, removed)
+    stale = stale_canonical_ids(state, removed)
+    rm = {(int(e), normalize_surface(a))
+          for e, a in zip(removed["entity_id"], removed["alias"])}
+    reduced = alias[[(int(e), normalize_surface(a)) not in rm
+                     for e, a in zip(alias["entity_id"], alias["alias"])]]
+    stats = relink_parts(spark, out_dir, new_state, reduced,
+                         canon_ids=stale)
+    assert stats.get("triples", {}).get("rewritten"), \
+        "parts referencing the touched component must re-link"
+
+    key = lambda pdf: set(
+        map(tuple, pdf[["subj", "pred", "obj", "url", "sent_idx", "conf"]]
+            .round({"conf": 6}).itertuples(index=False)))
+    got = lineage.read_triples(spark, out_dir).drop("part_id").toPandas()
+    want = run_pipeline(spark, spark.createDataFrame(pages), reduced
+                        )["triples"].toPandas()
+    assert key(got) == key(want)
+
+    # edges re-aggregate to the re-linked graph
+    from char_ner_spark.pipeline import edges_from_triples
+    ekey = lambda pdf: {(r.src, r.dst, r.rel): round(r.weight, 6)
+                        for r in pdf.itertuples()}
+    got_e = lineage.read_edges(spark, out_dir).toPandas()
+    want_e = edges_from_triples(
+        lineage.read_triples(spark, out_dir).drop("part_id")).toPandas()
+    assert ekey(got_e) == ekey(want_e)
+
+    # entities dimension refreshed (removed-alias dictionary, new canon)
+    ents = lineage.read_table(spark, out_dir, "entities").toPandas()
+    want_canon = dict(new_state["canon"].toPandas()[
+        ["entity_id", "canonical_id"]].itertuples(index=False))
+    got_canon = dict(ents[["entity_id", "canonical_id"]]
+                     .itertuples(index=False))
+    assert got_canon == want_canon
+
+    # pre-removal state still time-travels
+    pinned = lineage.read_triples(spark, out_dir, snapshot_id=s0) \
+        .drop("part_id").toPandas()
+    assert key(pinned) == key(before)
