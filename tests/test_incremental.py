@@ -526,3 +526,59 @@ def test_sequential_deltas_compose(spark, base_alias, tmp_path_factory):
     assert lineage.run_partitioned(
         spark, spark.createDataFrame(pages), base_alias, out_dir,
         n_parts=3, sinks=("triples",)) == []
+
+
+def test_stream_resume_after_cow_keeps_rewrites(spark, base_alias,
+                                                tmp_path_factory):
+    """Resume the STREAM after a COW rewrite: the next micro-batch takes
+    the checkpoint's next id, never touches the rewritten part (reserved
+    range), and the final table is the union of rewritten old batches and
+    the newly streamed one."""
+    import os
+
+    from char_ner_spark import lineage
+    from char_ner_spark import streaming as ST
+    from char_ner_spark.incremental import (_STREAM_REWRITE_PID_BASE,
+                                            apply_dictionary_update,
+                                            recanonicalize_triples,
+                                            update_dictionary_state)
+    from char_ner_spark.pipeline import build_dictionary_state
+
+    d = str(tmp_path_factory.mktemp("stream_resume_cow"))
+    src, out, ck = (os.path.join(d, n) for n in ("pages", "out", "ck"))
+    pages = make_pages(40, seed=29, alias_df=base_alias)
+    spark.createDataFrame(pages.iloc[:20]).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    ST.stream_triples(spark, src, base_alias, out, ck)
+    tbl = "stream_triples"
+    before = lineage.read_table(spark, out, tbl).drop("batch_id").toPandas()
+    delta = _linked_bridge_delta(base_alias, before)
+    state = build_dictionary_state(spark, base_alias)
+    _, remap = update_dictionary_state(spark, state, base_alias, delta)
+    stats = apply_dictionary_update(spark, out, remap)
+    rewritten = stats[tbl]["rewritten"]
+    assert rewritten and all(n >= _STREAM_REWRITE_PID_BASE
+                             for _, n in rewritten)
+    after_cow = lineage.read_table(spark, out, tbl).drop(
+        "batch_id").toPandas()
+
+    # new crawl slice arrives; the SAME checkpoint resumes the stream
+    spark.createDataFrame(pages.iloc[20:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    ST.stream_triples(spark, src, base_alias, out, ck)
+
+    key = lambda pdf: set(
+        map(tuple, pdf[["subj", "pred", "obj", "url", "sent_idx", "conf"]]
+            .round({"conf": 6}).itertuples(index=False)))
+    final = lineage.read_table(spark, out, tbl)
+    final_pdf = final.drop("batch_id").toPandas()
+    # rewritten parts still on disk and referenced
+    for _, new_pid in rewritten:
+        assert os.path.isdir(os.path.join(out, f"batch_id={new_pid}"))
+    # final = COW-rewritten old content ∪ newly streamed batch (which the
+    # resumed checkpoint numbered BELOW the reserved range)
+    new_ids = {int(r.batch_id)
+               for r in final.select("batch_id").distinct().collect()}
+    assert any(i < _STREAM_REWRITE_PID_BASE for i in new_ids)
+    assert key(after_cow) < key(final_pdf)
+    assert len(final_pdf) == len(key(final_pdf))  # no duplicates
