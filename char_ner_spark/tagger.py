@@ -42,6 +42,184 @@ _BIAS_ENT = np.float32(4.0)
 _BIAS_O = np.float32(2.0)
 
 
+# ---------------------------------------------------------------------------
+# deterministic GEMM discipline
+#
+# The engine's correctness gates (golden-run hash equality, cross-
+# parallelism bitwise stability, fixed-point confidences) require a row's
+# logits to be a PURE FUNCTION OF ITS CONTENT — independent of which rows
+# it was batched with, its position in the batch, and the padded length.
+# Elementwise ufuncs give that for free (per-element IEEE ops). BLAS GEMM
+# does not: OpenBLAS computes m-tail rows (m % microkernel) with a cleanup
+# kernel whose k-accumulation order differs from the main kernel, and its
+# threading splits change accumulation again — both observed to flip low
+# bits on real hosts (AVX512 DYNAMIC_ARCH dispatch; see
+# tests/test_tagger_kernels.py). Three-part discipline:
+#
+#   1. pin the in-process BLAS to ONE thread (ctypes, works even when
+#      numpy loaded before us — env vars only help before first import);
+#   2. pad every GEMM's row count to a multiple of _BLAS_PAD so every real
+#      row takes the main kernel (the hot path's BATCH_ROWS is already a
+#      multiple — the pad costs nothing there);
+#   3. PROBE the host once (first kernel use): plant duplicate rows at
+#      scattered positions, compare mult-of-pad slices and fused-vs-split
+#      column blocks across every (k, N) the model uses. A host that
+#      fails the probe falls back to `_det_gemm`, a k-ascending
+#      elementwise accumulation that is shape-independent by construction
+#      (slower; correctness never rests on the probe passing).
+# ---------------------------------------------------------------------------
+
+_BLAS_PAD = 32
+
+
+def _pin_blas_single_thread() -> bool:
+    """Force the ALREADY-LOADED OpenBLAS to one thread via its C API.
+    Env vars (OPENBLAS_NUM_THREADS) only work before the library loads;
+    inside a pyspark worker numpy is often imported first."""
+    import ctypes
+
+    done = False
+    try:
+        with open("/proc/self/maps") as fh:
+            libs = sorted({
+                line.split()[-1] for line in fh
+                if "openblas" in line and ".so" in line and "/" in line
+            })
+    except OSError:
+        return False
+    for path in libs:
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            continue
+        for sym in ("openblas_set_num_threads64_",
+                    "openblas_set_num_threads"):
+            fn = getattr(lib, sym, None)
+            if fn is not None:
+                fn(1)
+                done = True
+    return done
+
+
+def _det_gemm(A: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """[m,k] @ [k,N] with fixed k-ascending per-element accumulation —
+    bitwise independent of m, batch composition, blocking and BLAS
+    dispatch, because it is built ONLY from elementwise IEEE ops. The
+    fallback path for hosts whose BLAS fails the row-stability probe."""
+    m, k = A.shape
+    out = np.multiply(A[:, 0:1], W[0], dtype=np.float32)
+    tmp = np.empty_like(out)
+    for kk in range(1, k):
+        np.multiply(A[:, kk:kk + 1], W[kk], out=tmp)
+        np.add(out, tmp, out=out)
+    return out
+
+
+_FAST_GEMM: bool | None = None  # resolved by the first _gemm_fast() call
+
+
+def _probe_gemm_row_stable() -> bool:
+    """Does this host's BLAS compute each GEMM row as a pure function of
+    its content at every (k, N) the model uses (rows padded to
+    _BLAS_PAD)? Runs in ~1 ms; large-m case included so an unpinned
+    threaded split would be caught too."""
+    rng = np.random.RandomState(0xC0FFEE)
+    H = HIDDEN
+    shapes = [(EMB_DIM, 4 * H), (EMB_DIM, 8 * H), (2 * H, 4 * H),
+              (2 * H, 8 * H), (2 * H, NC)]
+    for k, N in shapes:
+        W = rng.normal(0, 0.1, (k, N)).astype(np.float32)
+        X = rng.normal(0, 0.3, (2048, k)).astype(np.float32)
+        for p in (33, 63, 257, 2047):  # duplicate content, scattered rows
+            X[p] = X[0]
+        full = X @ W
+        if not all(np.array_equal(full[p], full[0])
+                   for p in (33, 63, 257, 2047)):
+            return False
+        if not all(np.array_equal(X[:m] @ W, full[:m])
+                   for m in (_BLAS_PAD, 64, 320)):
+            return False
+    # fused-vs-split column blocks: the bidir kernel multiplies against
+    # concat([Wxf, Wxb]) while the reference uses each half alone
+    Wa = rng.normal(0, 0.1, (EMB_DIM, 4 * H)).astype(np.float32)
+    Wb = rng.normal(0, 0.1, (EMB_DIM, 4 * H)).astype(np.float32)
+    X = rng.normal(0, 0.3, (64, EMB_DIM)).astype(np.float32)
+    f = X @ np.concatenate([Wa, Wb], axis=1)
+    if not (np.array_equal(f[:, :4 * H], X @ Wa)
+            and np.array_equal(f[:, 4 * H:], X @ Wb)):
+        return False
+    # stacked 3D step matmul vs its 2D slices, with duplicate rows
+    W2 = np.stack([rng.normal(0, 0.1, (H, 4 * H)).astype(np.float32)
+                   for _ in range(2)])
+    Hs = rng.normal(0, 0.3, (2, 64, H)).astype(np.float32)
+    Hs[:, 47] = Hs[:, 2]
+    b3 = np.matmul(Hs, W2)
+    if not (np.array_equal(b3[0], Hs[0] @ W2[0])
+            and np.array_equal(b3[1], Hs[1] @ W2[1])
+            and np.array_equal(b3[:, 47], b3[:, 2])
+            and np.array_equal(np.matmul(Hs[:, :32], W2), b3[:, :32])):
+        return False
+    return True
+
+
+def _gemm_fast() -> bool:
+    """Resolve (once) whether the padded-BLAS fast path is safe here."""
+    global _FAST_GEMM
+    if _FAST_GEMM is None:
+        _pin_blas_single_thread()
+        _FAST_GEMM = _probe_gemm_row_stable()
+        if not _FAST_GEMM:
+            import warnings
+
+            warnings.warn(
+                "host BLAS failed the GEMM row-stability probe; the tagger "
+                "is using the deterministic elementwise GEMM fallback "
+                "(bitwise-correct, slower)", RuntimeWarning)
+    return _FAST_GEMM
+
+
+def _gemm(A: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """Row-content-pure [m,k] @ [k,N]: padded single-threaded BLAS when the
+    host probe passes, elementwise k-loop otherwise."""
+    if not _gemm_fast():
+        return _det_gemm(A, W)
+    m = A.shape[0]
+    pad = (-m) % _BLAS_PAD
+    if pad:
+        A = np.concatenate(
+            [A, np.zeros((pad, A.shape[1]), dtype=np.float32)])
+    return (A @ W)[:m]
+
+
+def _step_matmul(h: np.ndarray, Wh: np.ndarray, out: np.ndarray) -> None:
+    """Recurrent-step matmul ([..., n32, H] @ [..., H, 4H], n32 already a
+    _BLAS_PAD multiple) → out; same fast/fallback dispatch as _gemm."""
+    if _gemm_fast():
+        np.matmul(h, Wh, out=out)
+        return
+    k = h.shape[-1]
+    tmp = np.empty_like(out)
+    np.multiply(h[..., 0:1], Wh[..., 0:1, :], out=out)
+    for kk in range(1, k):
+        np.multiply(h[..., kk:kk + 1], Wh[..., kk:kk + 1, :], out=tmp)
+        np.add(out, tmp, out=out)
+
+
+def _pad_batch(x: np.ndarray, mask: np.ndarray) -> tuple[np.ndarray,
+                                                          np.ndarray, int]:
+    """Zero-pad the BATCH axis to a _BLAS_PAD multiple (mask=True on pad
+    rows keeps the all-valid fast path; pad rows compute discarded zeros
+    and cannot perturb real rows — elementwise ops + row-stable GEMM)."""
+    n = x.shape[0]
+    pad = (-n) % _BLAS_PAD
+    if not pad:
+        return x, mask, n
+    x = np.concatenate(
+        [x, np.zeros((pad,) + x.shape[1:], dtype=x.dtype)])
+    mask = np.concatenate([mask, np.ones((pad,) + mask.shape[1:], bool)])
+    return x, mask, n
+
+
 def _seed_for(lang: str) -> int:
     h = hashlib.blake2b(f"char-ner-spark:{lang}".encode(), digest_size=4).digest()
     return int.from_bytes(h, "big")
@@ -87,9 +265,10 @@ def _lstm_dir(x: np.ndarray, mask: np.ndarray, Wx: np.ndarray, Wh: np.ndarray,
     This is the REFERENCE implementation: the hot path runs both directions
     through :func:`_lstm_bidir` (half the NumPy dispatch), and
     tests/test_tagger_kernels.py pins the two bitwise-equal."""
+    x, mask, n_real = _pad_batch(x, mask)
     n, T, _ = x.shape
     H = Wh.shape[0]
-    pre_all = x.reshape(n * T, -1) @ Wx  # one big GEMM for the input path
+    pre_all = _gemm(x.reshape(n * T, -1), Wx)  # one big GEMM, input path
     pre_all += b
     pre_all = pre_all.reshape(n, T, 4 * H)
     h = np.zeros((n, H), dtype=np.float32)
@@ -104,7 +283,7 @@ def _lstm_dir(x: np.ndarray, mask: np.ndarray, Wx: np.ndarray, Wh: np.ndarray,
     steps = range(T - 1, -1, -1) if reverse else range(T)
     all_valid = bool(mask.all())
     for t in steps:
-        np.matmul(h, Wh, out=g)
+        _step_matmul(h, Wh, g)
         g += pre_all[:, t, :]
         gates = g[:, : 3 * H]  # i|f|o fused sigmoid, in place
         np.negative(gates, out=gates)
@@ -127,7 +306,7 @@ def _lstm_dir(x: np.ndarray, mask: np.ndarray, Wx: np.ndarray, Wh: np.ndarray,
             np.copyto(c, c_new, where=m)
             np.copyto(h, h_new, where=m)
         out[:, t, :] = h
-    return out
+    return out[:n_real]
 
 
 def _lstm_bidir(x: np.ndarray, mask: np.ndarray,
@@ -147,9 +326,10 @@ def _lstm_bidir(x: np.ndarray, mask: np.ndarray,
     [Din, 8H] GEMM. Masked-step carry-through semantics are identical to
     :func:`_lstm_dir` (state unchanged at padded steps; outputs written
     post-carry)."""
+    x, mask, n_real = _pad_batch(x, mask)
     n, T, _ = x.shape
     H = Whf.shape[0]
-    pre = x.reshape(n * T, -1) @ np.concatenate([Wxf, Wxb], axis=1)
+    pre = _gemm(x.reshape(n * T, -1), np.concatenate([Wxf, Wxb], axis=1))
     pre += np.concatenate([bf, bb])
     pre = pre.reshape(n, T, 8 * H)
     Wh2 = np.stack([Whf, Whb])  # [2, H, 4H]
@@ -163,7 +343,7 @@ def _lstm_bidir(x: np.ndarray, mask: np.ndarray,
     all_valid = bool(mask.all())
     for t in range(T):
         tb = T - 1 - t
-        np.matmul(h, Wh2, out=g)
+        _step_matmul(h, Wh2, g)
         g[0] += pre[:, t, : 4 * H]
         g[1] += pre[:, tb, 4 * H :]
         gates = g[:, :, : 3 * H]  # i|f|o fused sigmoid, in place
@@ -191,7 +371,7 @@ def _lstm_bidir(x: np.ndarray, mask: np.ndarray,
             np.copyto(h[1], h_new[1], where=mb)
         out[:, t, :H] = h[0]
         out[:, tb, H:] = h[1]
-    return out
+    return out[:n_real]
 
 
 def bilstm_logits(char_ids: np.ndarray, w: dict[str, np.ndarray],
@@ -207,24 +387,12 @@ def bilstm_logits(char_ids: np.ndarray, w: dict[str, np.ndarray],
             w[f"Wx{layer}bw"], w[f"Wh{layer}bw"], w[f"b{layer}bw"],
         )
     n, T, _ = x.shape
-    flat = x.reshape(n * T, -1)
-    m = flat.shape[0]
-    # Pad the row count to a multiple of the sgemm micro-kernel width: for
-    # this narrow output (NC=5 columns) BLAS computes m-tail rows (m % 8)
-    # with a cleanup kernel whose k-accumulation order differs from the main
-    # kernel, making a row's logits depend on its POSITION in the batch —
-    # the one shape in the model with that behavior (the 64/128-column
-    # GEMMs and the step matmuls are position- and m-size-stable at every
-    # tested shape). Zero-row padding to a multiple of 32 pins every real
-    # row to the main kernel, making logits a pure per-row function of
-    # content — the property the cross-parallelism determinism tests pin
-    # (tests/test_tagger_kernels.py).
-    pad = (-m) % 32
-    if pad:
-        flat = np.concatenate(
-            [flat, np.zeros((pad, flat.shape[1]), dtype=np.float32)]
-        )
-    out = (flat @ w["Wout"])[:m]
+    # _gemm applies the full determinism discipline (row padding, pinned
+    # single-thread BLAS, probed host, det fallback) — see the module-top
+    # GEMM section; this narrow NC=5 projection was the first shape caught
+    # depending on batch position, but hosts exist where EVERY sgemm shape
+    # has m-tail instability, so the discipline is applied to all of them.
+    out = _gemm(x.reshape(n * T, -1), w["Wout"])
     out += w["bout"]
     return out.reshape(n, T, NC)
 

@@ -94,3 +94,51 @@ def test_tag_sentences_partitioning_invariant():
     assert all(whole[oi] == shuffled[k] for k, oi in enumerate(order))
     split = TG.tag_sentences(sents[:61], "en") + TG.tag_sentences(sents[61:], "en")
     assert split == whole
+
+
+def test_det_gemm_fallback_invariants(monkeypatch):
+    """The k-loop fallback (`_det_gemm`/`_step_matmul` det path) must hold
+    the same invariants the fast path is probed for — it is the path every
+    host falls back to when its BLAS fails the row-stability probe, so it
+    is exercised here explicitly regardless of what this host probed."""
+    monkeypatch.setattr(TG, "_FAST_GEMM", False)
+    rng = np.random.RandomState(13)
+    # fused bidir == single-direction reference, bitwise
+    n, T, din = 9, 21, TG.EMB_DIM
+    H = TG.HIDDEN
+    x = rng.normal(0, 0.3, (n, T, din)).astype(np.float32)
+    Wxf, Whf, bf = _rand_weights(rng, din, H)
+    Wxb, Whb, bb = _rand_weights(rng, din, H)
+    mask = np.zeros((n, T), dtype=bool)
+    for r in range(n):
+        mask[r, : rng.randint(1, T + 1)] = True
+    fused = TG._lstm_bidir(x, mask, Wxf, Whf, bf, Wxb, Whb, bb)
+    ref = _ref_bidir(x, mask, Wxf, Whf, bf, Wxb, Whb, bb)
+    assert np.array_equal(fused, ref)
+    # batch-composition independence of logits
+    w = TG.model_weights("en")
+    texts = ["Alice met Bob.", "x", "Berlin 1989, Peter."]
+    solo = [TG.bilstm_logits(TG.encode_chars(s)[None, :], w) for s in texts]
+    Tm = max(len(s) for s in texts)
+    ids = np.zeros((len(texts), Tm), dtype=np.int64)
+    m2 = np.zeros((len(texts), Tm), dtype=bool)
+    for r, s in enumerate(texts):
+        ids[r, : len(s)] = TG.encode_chars(s)
+        m2[r, : len(s)] = True
+    lg = TG.bilstm_logits(ids, w, m2)
+    for r, s in enumerate(texts):
+        assert np.array_equal(lg[r, : len(s)], solo[r][0]), s
+
+
+def test_det_gemm_matches_blas_semantics_loosely():
+    """det and fast paths are DIFFERENT accumulation orders — never
+    bitwise-compared — but they compute the same math (allclose) and the
+    det path is shape-stable by construction."""
+    rng = np.random.RandomState(5)
+    A = rng.normal(0, 0.3, (100, 32)).astype(np.float32)
+    W = rng.normal(0, 0.1, (32, 64)).astype(np.float32)
+    d = TG._det_gemm(A, W)
+    assert np.allclose(d, A @ W, atol=1e-5)
+    full = TG._det_gemm(A, W)
+    for m in (1, 3, 17, 99):
+        assert np.array_equal(TG._det_gemm(A[:m], W), full[:m])
