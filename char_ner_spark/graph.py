@@ -317,3 +317,207 @@ def weakly_connected_components(edges: DataFrame) -> DataFrame:
     cc = connected_components(verts, edges.select("src", "dst").distinct())
     return cc.select(F.col("entity_id").alias("entity"),
                      F.col("canonical_id").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# declarative KG queries: basic graph patterns (the SPARQL BGP core)
+# ---------------------------------------------------------------------------
+
+def _parse_term(term):
+    """A pattern term is a variable ("?name") or a constant (entity id /
+    predicate string). Returns (var_name | None, constant | None)."""
+    if isinstance(term, str) and term.startswith("?"):
+        v = term[1:]
+        if not v.isidentifier():
+            raise ValueError(f"invalid variable name in pattern term {term!r}")
+        return v, None
+    return None, term
+
+
+def match_pattern(triples: DataFrame, pattern,
+                  allow_product: bool = False) -> DataFrame:
+    """Evaluate a basic graph pattern (the SPARQL BGP core) over the
+    triple table → one column per variable, one row per solution.
+
+    ``pattern`` is a sequence of (subj, pred, obj) triple patterns whose
+    terms are either variables (``"?x"``) or constants (entity ids for
+    subj/obj, predicate names for pred), e.g. the 2-hop chain "people at
+    an org located somewhere"::
+
+        [("?person", "works_for", "?org"),
+         ("?org", "located_in", "?place")]
+
+    Semantics are SPARQL's: the pattern is matched against the DISTINCT
+    (subj, pred, obj) set (the triple table carries one row per supporting
+    mention; assertion-level semantics are what a query consumer means),
+    shared variables join, and the result is a solution SET — which falls
+    out structurally: every leg projects all of its variables from a
+    distinct triple set, and legs combine by equijoin on the shared
+    variables, so no final distinct pass is needed or taken.
+
+    Scale shape (how this compiles, audited in docs/PLANS.md):
+
+    * each leg is the SAME distinct-triples scan with constant predicates
+      pushed down — Catalyst pushes the ``pred =``/``subj =`` filters into
+      the parquet scan per leg, so a selective leg reads row-group stats,
+      not the table;
+    * legs join on shared variables only. Join ORDER is chosen greedily —
+      start at the most-constant-bound (most selective) leg, always extend
+      with a connected leg, most constants first — so the intermediate
+      stays filtered from the first join instead of exploding and
+      filtering late;
+    * selective legs are broadcast at runtime by AQE (filtered size is a
+      runtime property; the static planner cannot know it), turning the
+      typical chain query into broadcast probes over the one big leg;
+    * a disconnected pattern is a cartesian product — refused unless
+      ``allow_product=True`` (at KG scale that is almost always a query
+      bug, and Spark would silently build it).
+
+    A leg with NO variables (a fully-ground triple) acts as an existence
+    gate: solutions survive only if that triple is present (evaluated as a
+    broadcast of at most one row, never a scan-sized join).
+    """
+    pattern = list(pattern)
+    if not pattern:
+        raise ValueError("empty pattern")
+    base = triples.select("subj", "pred", "obj").distinct()
+
+    legs = []  # (var set, n_constants, leg_df) — variable-binding legs
+    gates = []  # fully-ground legs (existence tests)
+    var_order: list[str] = []  # output column order: first appearance
+    for s, p, o in pattern:
+        leg = base
+        pos_of_var: dict[str, str] = {}
+        n_const = 0
+        for pos, term in (("subj", s), ("pred", p), ("obj", o)):
+            v, const = _parse_term(term)
+            if v is None:
+                leg = leg.filter(F.col(pos) == F.lit(const))
+                n_const += 1
+            elif v in pos_of_var:  # same variable twice in one leg
+                leg = leg.filter(F.col(pos) == F.col(pos_of_var[v]))
+            else:
+                pos_of_var[v] = pos
+        leg_vars = list(pos_of_var)
+        for v in leg_vars:
+            if v not in var_order:
+                var_order.append(v)
+        if leg_vars:
+            leg = leg.select(*[F.col(pos_of_var[v]).alias(v)
+                               for v in leg_vars])
+        if leg_vars:
+            legs.append((set(leg_vars), n_const, leg))
+        else:
+            # fully-ground leg: a pure existence gate, applied after the
+            # variable legs join (≤1 broadcast row — never a scan-sized
+            # join, and it cannot seed the join order)
+            gates.append(leg)
+    if not var_order:
+        raise ValueError(
+            "pattern binds no variables — a fully-ground pattern is an "
+            "existence test, not a query; add at least one ?var")
+
+    # greedy connected join order: seed with the most-constant leg, then
+    # always extend with a leg sharing a variable (most constants first,
+    # original order breaking ties — deterministic)
+    remaining = list(range(len(legs)))
+    start = max(remaining, key=lambda i: (legs[i][1], -i))
+    order = [start]
+    remaining.remove(start)
+    bound = set(legs[start][0])
+    while remaining:
+        connected = [i for i in remaining if legs[i][0] & bound]
+        if not connected:
+            if not allow_product:
+                raise ValueError(
+                    "disconnected pattern (cartesian product between "
+                    "variable groups); pass allow_product=True if the "
+                    "product is intended")
+            connected = remaining
+        nxt = max(connected, key=lambda i: (legs[i][1], -i))
+        order.append(nxt)
+        remaining.remove(nxt)
+        bound |= legs[nxt][0]
+
+    acc = None
+    for i in order:
+        leg_vars, _, leg = legs[i]
+        if acc is None:
+            acc = leg
+            continue
+        shared = sorted(leg_vars & set(acc.columns))
+        acc = (acc.crossJoin(leg) if not shared
+               else acc.join(leg, on=shared))
+    for gate in gates:
+        acc = acc.crossJoin(
+            F.broadcast(gate.select(F.lit(1).alias("__gate")).limit(1)))
+    return acc.select(*var_order)
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-entity triangle participation over the UNDIRECTED simple graph
+    → (entity, n_triangles); entities in no triangle are absent.
+
+    Scale discipline is the classic degree orientation: symmetrize +
+    de-duplicate to canonical undirected pairs, then orient every edge
+    from the (degree, id)-smaller endpoint to the larger. The oriented
+    graph is a DAG where each triangle appears as EXACTLY one wedge
+    (a→b, a→c) plus its closing edge (b→c), and — the scale property —
+    max out-degree is O(sqrt(m)), so the wedge self-join materializes
+    O(m^1.5) candidates worst-case instead of the O(sum deg^2) of naive
+    wedge counting on skewed graphs (a celebrity node with 10^6 neighbors
+    contributes 10^12 naive wedges; oriented, its edges point INTO it).
+    Two shuffles on vertex keys + one join against the oriented edge set;
+    all JVM, no Python."""
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionAll(und.select(F.col("b").alias("entity")))
+        .groupBy("entity").agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("entity", "a")
+                    .withColumnRenamed("deg", "deg_a"), "a")
+        .join(deg.withColumnRenamed("entity", "b")
+                 .withColumnRenamed("deg", "deg_b"), "b")
+        .select(
+            F.when((F.col("deg_a") < F.col("deg_b"))
+                   | ((F.col("deg_a") == F.col("deg_b"))
+                      & (F.col("a") < F.col("b"))), F.col("a"))
+             .otherwise(F.col("b")).alias("lo"),
+            F.when((F.col("deg_a") < F.col("deg_b"))
+                   | ((F.col("deg_a") == F.col("deg_b"))
+                      & (F.col("a") < F.col("b"))), F.col("b"))
+             .otherwise(F.col("a")).alias("hi"),
+        )
+    ).localCheckpoint()  # consumed twice (wedge build + closing probe)
+    wedges = (
+        ranked.alias("e1")
+        .join(ranked.alias("e2"),
+              (F.col("e1.lo") == F.col("e2.lo"))
+              & (F.col("e1.hi") < F.col("e2.hi")))
+        .select(F.col("e1.lo").alias("apex"),
+                F.col("e1.hi").alias("u"), F.col("e2.hi").alias("v"))
+    )
+    # closing-edge probe: the wedge's (u, v) is id-ordered (the u < v above
+    # de-duplicates the neighbor pair), but the stored edge {u, v} is
+    # (deg, id)-rank-ordered — the two orders need not agree, so probe the
+    # SYMMETRIC closing set (each stored pair contributes both tuples;
+    # exactly one can equal an id-ordered (u, v), so counts stay exact)
+    closing = ranked.select(F.col("lo").alias("u"), F.col("hi").alias("v")) \
+        .unionAll(ranked.select(F.col("hi").alias("u"),
+                                F.col("lo").alias("v")))
+    tri = wedges.join(closing, ["u", "v"])
+    per_entity = (
+        tri.select(F.col("apex").alias("entity"))
+        .unionAll(tri.select(F.col("u").alias("entity")))
+        .unionAll(tri.select(F.col("v").alias("entity")))
+        .groupBy("entity").agg(F.count("*").alias("n_triangles"))
+    )
+    return per_entity

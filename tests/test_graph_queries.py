@@ -1,0 +1,223 @@
+"""BGP pattern matching (`graph.match_pattern`) vs a DuckDB SQL oracle and
+a nested-loop Python matcher, and `graph.triangle_counts` vs a set-based
+Python oracle — deterministic random graphs, skew/self-loop/parallel-edge
+edge cases included."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from char_ner_spark.graph import match_pattern, triangle_counts
+
+PREDS = ["works_for", "located_in", "born_in"]
+
+
+def _rand_triples(n_rows=300, n_ent=25, seed=7):
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame({
+        "subj": rng.randint(0, n_ent, n_rows).astype("int64"),
+        "pred": [PREDS[i] for i in rng.randint(0, len(PREDS), n_rows)],
+        "obj": rng.randint(0, n_ent, n_rows).astype("int64"),
+        # mention-level extras the operator must ignore
+        "url": [f"u{i % 40}" for i in range(n_rows)],
+        "conf": rng.uniform(0.5, 1.0, n_rows).round(6),
+    })
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def triples_pdf():
+    return _rand_triples()
+
+
+@pytest.fixture(scope="module")
+def triples_df(spark, triples_pdf):
+    return spark.createDataFrame(triples_pdf)
+
+
+def _py_match(triples_pdf, pattern):
+    """Nested-loop BGP matcher over the distinct triple set — the
+    semantics oracle. Returns a set of solution tuples in first-appearance
+    variable order."""
+    tri = set(map(tuple, triples_pdf[["subj", "pred", "obj"]].values))
+    var_order = []
+    for pat in pattern:
+        for term in pat:
+            if isinstance(term, str) and term.startswith("?"):
+                if term[1:] not in var_order:
+                    var_order.append(term[1:])
+    sols = [dict()]
+    for s, p, o in pattern:
+        nxt = []
+        for binding in sols:
+            for ts, tp, to in tri:
+                b = dict(binding)
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if isinstance(term, str) and term.startswith("?"):
+                        v = term[1:]
+                        if v in b and b[v] != val:
+                            ok = False
+                            break
+                        b[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(b)
+        sols = nxt
+    return {tuple(b[v] for v in var_order) for b in sols}, var_order
+
+
+def _spark_rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_chain_pattern_vs_duckdb(triples_df, triples_pdf):
+    got = match_pattern(triples_df, [("?person", "works_for", "?org"),
+                                     ("?org", "located_in", "?place")])
+    assert got.columns == ["person", "org", "place"]
+    con = duckdb.connect()
+    con.register("t", triples_pdf)
+    want = con.execute("""
+        WITH d AS (SELECT DISTINCT subj, pred, obj FROM t)
+        SELECT a.subj AS person, a.obj AS org, b.obj AS place
+        FROM d a JOIN d b ON a.obj = b.subj
+        WHERE a.pred = 'works_for' AND b.pred = 'located_in'
+    """).fetchall()
+    assert _spark_rows(got) == set(map(tuple, want))
+
+
+def test_star_and_repeated_var(triples_df, triples_pdf):
+    # star: same subject in two legs
+    got = match_pattern(triples_df, [("?x", "works_for", "?a"),
+                                     ("?x", "born_in", "?b")])
+    want, order = _py_match(triples_pdf, [("?x", "works_for", "?a"),
+                                          ("?x", "born_in", "?b")])
+    assert got.columns == order
+    assert _spark_rows(got) == want
+    # repeated variable inside one leg: self-assertions only
+    got2 = match_pattern(triples_df, [("?x", "?p", "?x")])
+    want2, _ = _py_match(triples_pdf, [("?x", "?p", "?x")])
+    assert _spark_rows(got2) == want2
+
+
+def test_constant_subject_and_ground_gate(triples_df, triples_pdf):
+    tri = triples_pdf[["subj", "pred", "obj"]].drop_duplicates()
+    s0, p0, o0 = tri.iloc[0]
+    got = match_pattern(triples_df, [(int(s0), p0, "?o")])
+    want, _ = _py_match(triples_pdf, [(int(s0), p0, "?o")])
+    assert _spark_rows(got) == want
+
+    # ground gate present: result unchanged; absent: result empty
+    base = [("?x", "works_for", "?y")]
+    want_base, _ = _py_match(triples_pdf, base)
+    with_gate = match_pattern(triples_df, base + [(int(s0), p0, int(o0))])
+    assert _spark_rows(with_gate) == want_base
+    missing = match_pattern(triples_df, base + [(10**9, p0, int(o0))])
+    assert missing.count() == 0
+
+
+def test_product_guard(triples_df):
+    pat = [("?a", "works_for", "?b"), ("?c", "born_in", "?d")]
+    with pytest.raises(ValueError, match="disconnected"):
+        match_pattern(triples_df, pat)
+    n1 = match_pattern(triples_df, pat[:1]).count()
+    n2 = match_pattern(triples_df, pat[1:]).count()
+    prod = match_pattern(triples_df, pat, allow_product=True)
+    assert prod.count() == n1 * n2
+
+
+def test_no_variables_rejected(triples_df):
+    with pytest.raises(ValueError, match="binds no variables"):
+        match_pattern(triples_df, [(1, "works_for", 2)])
+    with pytest.raises(ValueError, match="empty pattern"):
+        match_pattern(triples_df, [])
+
+
+def test_match_pattern_fuzz_python_oracle(spark):
+    """Random small triple sets × random patterns vs the nested-loop
+    matcher — shapes include chains, stars, constants, repeats."""
+    rng = np.random.RandomState(42)
+    for trial in range(12):
+        pdf = _rand_triples(n_rows=rng.randint(20, 120),
+                            n_ent=rng.randint(4, 12), seed=100 + trial)
+        df = spark.createDataFrame(pdf)
+        n_legs = rng.randint(1, 4)
+        variables = ["?x", "?y", "?z", "?w"]
+        pattern = []
+        for _ in range(n_legs):
+            s = (variables[rng.randint(0, 3)] if rng.rand() < 0.8
+                 else int(rng.randint(0, 12)))
+            p = (PREDS[rng.randint(0, len(PREDS))] if rng.rand() < 0.7
+                 else "?p")
+            o = (variables[rng.randint(0, 4)] if rng.rand() < 0.8
+                 else int(rng.randint(0, 12)))
+            pattern.append((s, p, o))
+        want, order = _py_match(pdf, pattern)
+        if not order:
+            continue  # all-ground pattern: rejected by design
+        try:
+            got = match_pattern(df, pattern, allow_product=True)
+        except ValueError:
+            continue
+        assert got.columns == order, pattern
+        assert _spark_rows(got) == want, pattern
+
+
+def _py_triangles(edges_pdf):
+    adj = {}
+    for s, d in edges_pdf[["src", "dst"]].values:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    counts = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for v in (a, b, c):
+                        counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def _tri_check(spark, edges_pdf):
+    got = {r["entity"]: r["n_triangles"]
+           for r in triangle_counts(spark.createDataFrame(edges_pdf)).collect()}
+    assert got == _py_triangles(edges_pdf)
+
+
+def test_triangle_counts_random(spark):
+    rng = np.random.RandomState(5)
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        n, m = 30, 150
+        pdf = pd.DataFrame({
+            "src": rng.randint(0, n, m).astype("int64"),
+            "dst": rng.randint(0, n, m).astype("int64"),
+            "rel": "r",
+            "weight": 1.0,
+        })
+        _tri_check(spark, pdf)
+
+
+def test_triangle_counts_edge_cases(spark):
+    # self-loops, parallel + reversed duplicates, a hub star (no triangles
+    # through the star alone), one explicit triangle + one square
+    pdf = pd.DataFrame({
+        "src": [1, 1, 2, 2, 1, 3, 3, 10, 10, 10, 10, 20, 21, 22, 23],
+        "dst": [1, 2, 1, 3, 3, 1, 2, 11, 12, 13, 14, 21, 22, 23, 20],
+        "rel": "r", "weight": 1.0,
+    })
+    pdf = pdf.astype({"src": "int64", "dst": "int64"})
+    _tri_check(spark, pdf)
+    # triangle {1,2,3} counted once per member; square 20-23 contributes none
+    got = {r["entity"]: r["n_triangles"]
+           for r in triangle_counts(
+               pdf.pipe(lambda p: spark.createDataFrame(p))).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

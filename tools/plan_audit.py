@@ -371,6 +371,54 @@ def main() -> int:
         ],
     ))
 
+    # 15. BGP pattern match: constant-pred filters reach the parquet scan,
+    # legs equijoin on shared variables (never a cartesian), all JVM
+    import tempfile
+
+    from char_ner_spark.graph import match_pattern, triangle_counts
+
+    tri_path = os.path.join(tempfile.mkdtemp(prefix="plan_bgp_"), "tri")
+    spark.createDataFrame(pd.DataFrame({
+        "subj": [1, 2, 3, 4] * 25, "pred": ["works_for", "located_in"] * 50,
+        "obj": [2, 3, 4, 5] * 25,
+        "url": ["u"] * 100, "sent_idx": list(range(100)),
+        "conf": [0.9] * 100,
+    })).write.mode("overwrite").parquet(tri_path)
+    tri_pq = spark.read.parquet(tri_path)
+    p15 = fmt(match_pattern(tri_pq, [("?person", "works_for", "?org"),
+                                     ("?org", "located_in", "?place")]))
+    sections.append((
+        "match_pattern 2-hop BGP (pred pushdown, var equijoin, no Python)",
+        p15,
+        [
+            ("constant predicates pushed into the scan",
+             "EqualTo(pred,works_for)" in p15
+             and "EqualTo(pred,located_in)" in p15),
+            ("scan pruned to the pattern's columns",
+             "url" not in re.findall(r"ReadSchema: \S+", p15)[0]),
+            ("legs equijoin — no cartesian product",
+             "CartesianProduct" not in p15 and "BroadcastNestedLoop"
+             not in p15),
+            ("all JVM (no Python eval in the plan)",
+             "EvalPython" not in p15),
+        ],
+    ))
+
+    # 16. triangle_counts: oriented wedge join is an equijoin (the O(m^1.5)
+    # bound rests on never materializing a nested-loop pair expansion)
+    p16 = fmt(triangle_counts(edges_g))
+    sections.append((
+        "triangle_counts (degree-oriented wedge equijoin)", p16,
+        [
+            ("wedge + closing joins are hash/sort equijoins, not nested loops",
+             "CartesianProduct" not in p16
+             and "BroadcastNestedLoop" not in p16),
+            ("all JVM (no Python eval in the plan)", "EvalPython" not in p16),
+            ("map-side partial aggregation for the per-entity counts",
+             "partial_count" in p16 or "HashAggregate" in p16),
+        ],
+    ))
+
     out = ["# Physical plan audit (generated by tools/plan_audit.py)\n"]
     ok_all = True
     for title, plan, checks in sections:

@@ -27,7 +27,8 @@ def main() -> int:
     from char_ner_spark.export import read_ntriples, triples_to_ntriples, \
         write_ntriples
     from char_ner_spark.fixtures import make_alias_table, make_pages
-    from char_ner_spark.graph import (degrees, k_hop, pagerank,
+    from char_ner_spark.graph import (degrees, k_hop, match_pattern,
+                                      pagerank, triangle_counts,
                                       triple_support,
                                       weakly_connected_components)
     from char_ner_spark.session import build_session
@@ -87,6 +88,36 @@ def main() -> int:
     sup_ok = int(sup["n_mentions"].sum()) == triples.count() \
         and (sup["n_urls"] <= sup["n_mentions"]).all()
 
+    # BGP pattern match vs a nested-loop matcher on the same triples
+    t_pdf = triples.select("subj", "pred", "obj").toPandas()
+    tri_set = set(map(tuple, t_pdf.values))
+    top_pred = t_pdf["pred"].value_counts().index[0]
+    got_bgp = {tuple(r) for r in match_pattern(
+        triples, [("?a", top_pred, "?b"), ("?b", "?p", "?c")]).collect()}
+    want_bgp = {(s1, o1, p2, o2)
+                for s1, p1, o1 in tri_set if p1 == top_pred
+                for s2, p2, o2 in tri_set if s2 == o1}
+    bgp_ok = got_bgp == want_bgp and len(got_bgp) > 0
+
+    # per-entity triangle counts vs a set-intersection oracle
+    tc = {r.entity: r.n_triangles
+          for r in triangle_counts(edges).collect()}
+    adj: dict[int, set[int]] = {}
+    for s, d in e_pdf[["src", "dst"]].values:
+        if s != d:
+            adj.setdefault(int(s), set()).add(int(d))
+            adj.setdefault(int(d), set()).add(int(s))
+    want_tc: dict[int, int] = {}
+    for a in sorted(adj):
+        for b2 in adj[a]:
+            if b2 <= a:
+                continue
+            for c2 in adj[a] & adj[b2]:
+                if c2 > b2:
+                    for v in (a, b2, c2):
+                        want_tc[v] = want_tc.get(v, 0) + 1
+    tri_ok = tc == want_tc
+
     nt_dir = os.path.join(out_dir, "export_nt")
     write_ntriples(triples_to_ntriples(triples), nt_dir)
     back = read_ntriples(spark, nt_dir)
@@ -105,6 +136,8 @@ def main() -> int:
         "wcc_min_label_ok": bool(wcc_ok),
         "k_hop_ok": bool(hop_ok),
         "triple_support_ok": bool(sup_ok),
+        "bgp_match_ok": bool(bgp_ok),
+        "triangles_ok": bool(tri_ok),
         "ntriples_roundtrip_ok": bool(export_ok),
     }
     ok = all(v for k, v in result.items() if k.endswith("_ok"))
