@@ -163,9 +163,25 @@ def _probe_gemm_row_stable() -> bool:
 
 
 def _gemm_fast() -> bool:
-    """Resolve (once) whether the padded-BLAS fast path is safe here."""
+    """Resolve (once) whether the padded-BLAS fast path is safe here.
+
+    ``CHAR_NER_GEMM=det|fast`` overrides the probe. On a HETEROGENEOUS
+    cluster the probe could resolve differently per host, making batch
+    outputs host-dependent (each host is self-consistent, but a resumed
+    or re-partitioned run could mix them); set ``CHAR_NER_GEMM=det`` via
+    ``spark.executorEnv`` there to pin every executor to the
+    accumulation-order-fixed path. Single-host / homogeneous fleets (the
+    benched configuration) need no pin."""
     global _FAST_GEMM
     if _FAST_GEMM is None:
+        import os
+
+        forced = os.environ.get("CHAR_NER_GEMM", "").lower()
+        if forced in ("det", "fast"):
+            _FAST_GEMM = forced == "fast"
+            if _FAST_GEMM:
+                _pin_blas_single_thread()
+            return _FAST_GEMM
         _pin_blas_single_thread()
         _FAST_GEMM = _probe_gemm_row_stable()
         if not _FAST_GEMM:

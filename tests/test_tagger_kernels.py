@@ -142,3 +142,17 @@ def test_det_gemm_matches_blas_semantics_loosely():
     full = TG._det_gemm(A, W)
     for m in (1, 3, 17, 99):
         assert np.array_equal(TG._det_gemm(A[:m], W), full[:m])
+
+
+def test_gemm_env_override(monkeypatch):
+    """CHAR_NER_GEMM pins the path explicitly (the heterogeneous-cluster
+    escape hatch — per-host probing must be overridable fleet-wide)."""
+    monkeypatch.setattr(TG, "_FAST_GEMM", None)
+    monkeypatch.setenv("CHAR_NER_GEMM", "det")
+    assert TG._gemm_fast() is False
+    monkeypatch.setattr(TG, "_FAST_GEMM", None)
+    monkeypatch.setenv("CHAR_NER_GEMM", "fast")
+    assert TG._gemm_fast() is True
+    monkeypatch.setattr(TG, "_FAST_GEMM", None)  # leave re-probed state
+    monkeypatch.delenv("CHAR_NER_GEMM")
+    TG._gemm_fast()
