@@ -334,8 +334,98 @@ def _parse_term(term):
     return None, term
 
 
+class PredPath:
+    """Property path in a pattern's predicate slot (the SPARQL path core):
+    ``PredPath(["p1", "p2"])`` = alternation (p1|p2);
+    ``PredPath(["p"], closure=True, max_depth=8)`` = bounded transitive
+    closure p+ (1..max_depth hops). String sugar: ``"p+"`` ≡
+    ``PredPath(["p"], closure=True)``; a tuple/list of strings ≡
+    alternation."""
+
+    def __init__(self, preds, closure: bool = False, max_depth: int = 8):
+        self.preds = [str(p) for p in preds]
+        if not self.preds or any(p.startswith("?") for p in self.preds):
+            raise ValueError("PredPath needs constant predicate names")
+        self.closure = bool(closure)
+        if max_depth < 1:
+            raise ValueError("max_depth must be >= 1")
+        self.max_depth = int(max_depth)
+
+
+def _as_predpath(p):
+    """Sugar → PredPath | None (None = plain var/constant term)."""
+    if isinstance(p, PredPath):
+        return p
+    if isinstance(p, (list, tuple, set, frozenset)):
+        return PredPath(sorted(p))
+    if isinstance(p, str) and p.endswith("+") and not p.startswith("?"):
+        return PredPath([p[:-1]], closure=True)
+    return None
+
+
+def _closure_pairs(base: DataFrame, path: PredPath,
+                   src_const=None, dst_const=None) -> DataFrame:
+    """Bounded transitive closure of the pred-filtered assertion set →
+    distinct (subj, obj) pairs reachable in 1..max_depth hops.
+
+    Frontier iteration with per-round `localCheckpoint` (same discipline
+    as k_hop/CC: truncate the iterated lineage, stop early on an empty
+    frontier). A CONSTANT endpoint seeds the frontier, so the work is
+    O(reachable-from-seed), not O(full closure) — the full closure is only
+    materialized when both endpoints are variables, which is meant for
+    hierarchy-shaped predicates (located_in, part_of) whose closure is
+    vertex-scale; a dense relation's closure is quadratic and no engine
+    can materialize it, bounded depth or not."""
+    E = (base.filter(F.col("pred").isin(path.preds))
+         .select("subj", "obj").distinct().localCheckpoint())
+    fwd = dst_const is None or src_const is not None  # extend on the right
+    if src_const is not None:
+        paths = E.filter(F.col("subj") == F.lit(src_const))
+    elif dst_const is not None:
+        paths = E.filter(F.col("obj") == F.lit(dst_const))
+    else:
+        paths = E
+    # accumulate CHECKPOINTED parts and union them lazily (≤max_depth
+    # shallow leaves) — checkpointing a union of already-checkpointed
+    # frames trips Spark's LogicalRDD constraint rewrite (NoSuchElement
+    # on the dropped attribute), and the lazy union keeps lineage flat
+    # without it
+    import functools
+
+    # .toDF after every checkpoint mints FRESH attribute ids: each round's
+    # plan references the frontier leaf twice (extension join + seen
+    # anti-join) and Spark 4.1's checkpoint-time constraint rewrite throws
+    # NoSuchElementException when the duplicated leaf's original ids leak
+    # into both branches (observed; the re-project sidesteps it)
+    fresh = lambda df: df.toDF("subj", "obj")
+    parts = [fresh(paths.localCheckpoint())]
+    frontier = parts[0]
+    seen = lambda: functools.reduce(lambda a, b: a.union(b), parts)
+    for _ in range(1, path.max_depth):
+        if fwd:
+            nxt = (frontier.alias("f")
+                   .join(E.alias("e"), F.col("f.obj") == F.col("e.subj"))
+                   .select(F.col("f.subj").alias("subj"),
+                           F.col("e.obj").alias("obj")))
+        else:
+            nxt = (E.alias("e")
+                   .join(frontier.alias("f"),
+                         F.col("e.obj") == F.col("f.subj"))
+                   .select(F.col("e.subj").alias("subj"),
+                           F.col("f.obj").alias("obj")))
+        nxt = fresh(
+            nxt.distinct()
+            .join(seen(), ["subj", "obj"], "left_anti").localCheckpoint())
+        if nxt.limit(1).count() == 0:
+            break
+        parts.append(nxt)
+        frontier = nxt
+    return seen()
+
+
 def match_pattern(triples: DataFrame, pattern,
-                  allow_product: bool = False) -> DataFrame:
+                  allow_product: bool = False,
+                  filters=None, select=None) -> DataFrame:
     """Evaluate a basic graph pattern (the SPARQL BGP core) over the
     triple table → one column per variable, one row per solution.
 
@@ -376,6 +466,19 @@ def match_pattern(triples: DataFrame, pattern,
     A leg with NO variables (a fully-ground triple) acts as an existence
     gate: solutions survive only if that triple is present (evaluated as a
     broadcast of at most one row, never a scan-sized join).
+
+    Extensions beyond plain BGPs:
+
+    * **property paths** in the predicate slot (:class:`PredPath`, with
+      string sugar): ``("?a", ("works_for", "employed_by"), "?b")`` is
+      alternation; ``("?a", "located_in+", "?b")`` is bounded transitive
+      closure (1..max_depth hops, frontier-iterated with seed restriction
+      when an endpoint is constant — see :func:`_closure_pairs`);
+    * ``filters``: SQL boolean expressions over the variable names
+      (``["person != place"]``), applied to the joined solutions —
+      Catalyst pushes each as deep as legality allows;
+    * ``select``: project a subset of variables; the result is
+      re-distinct-ed, matching SPARQL's ``SELECT DISTINCT``.
     """
     pattern = list(pattern)
     if not pattern:
@@ -386,18 +489,44 @@ def match_pattern(triples: DataFrame, pattern,
     gates = []  # fully-ground legs (existence tests)
     var_order: list[str] = []  # output column order: first appearance
     for s, p, o in pattern:
-        leg = base
+        pp = _as_predpath(p)
         pos_of_var: dict[str, str] = {}
-        n_const = 0
-        for pos, term in (("subj", s), ("pred", p), ("obj", o)):
-            v, const = _parse_term(term)
-            if v is None:
-                leg = leg.filter(F.col(pos) == F.lit(const))
-                n_const += 1
-            elif v in pos_of_var:  # same variable twice in one leg
-                leg = leg.filter(F.col(pos) == F.col(pos_of_var[v]))
+        if pp is not None:
+            # property-path leg (alternation / bounded closure): the pred
+            # position is consumed by the path; only subj/obj bind
+            sv, sc = _parse_term(s)
+            ov, oc = _parse_term(o)
+            if pp.closure:
+                leg = _closure_pairs(base, pp, src_const=sc, dst_const=oc)
             else:
-                pos_of_var[v] = pos
+                leg = (base.filter(F.col("pred").isin(pp.preds))
+                       .select("subj", "obj").distinct())
+            n_const = 1  # the pred constraint itself
+            if sc is not None:
+                leg = leg.filter(F.col("subj") == F.lit(sc))
+                n_const += 1
+            if oc is not None:
+                leg = leg.filter(F.col("obj") == F.lit(oc))
+                n_const += 1
+            if sv is not None:
+                pos_of_var[sv] = "subj"
+            if ov is not None:
+                if ov in pos_of_var:  # (?x, p+, ?x): cycles only
+                    leg = leg.filter(F.col("obj") == F.col("subj"))
+                else:
+                    pos_of_var[ov] = "obj"
+        else:
+            leg = base
+            n_const = 0
+            for pos, term in (("subj", s), ("pred", p), ("obj", o)):
+                v, const = _parse_term(term)
+                if v is None:
+                    leg = leg.filter(F.col(pos) == F.lit(const))
+                    n_const += 1
+                elif v in pos_of_var:  # same variable twice in one leg
+                    leg = leg.filter(F.col(pos) == F.col(pos_of_var[v]))
+                else:
+                    pos_of_var[v] = pos
         leg_vars = list(pos_of_var)
         for v in leg_vars:
             if v not in var_order:
@@ -405,7 +534,6 @@ def match_pattern(triples: DataFrame, pattern,
         if leg_vars:
             leg = leg.select(*[F.col(pos_of_var[v]).alias(v)
                                for v in leg_vars])
-        if leg_vars:
             legs.append((set(leg_vars), n_const, leg))
         else:
             # fully-ground leg: a pure existence gate, applied after the
@@ -451,7 +579,15 @@ def match_pattern(triples: DataFrame, pattern,
     for gate in gates:
         acc = acc.crossJoin(
             F.broadcast(gate.select(F.lit(1).alias("__gate")).limit(1)))
-    return acc.select(*var_order)
+    acc = acc.select(*var_order)
+    for expr in (filters or []):
+        acc = acc.filter(expr)
+    if select is not None:
+        missing = [v for v in select if v not in var_order]
+        if missing:
+            raise ValueError(f"select names unbound variables: {missing}")
+        acc = acc.select(*select).distinct()
+    return acc
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

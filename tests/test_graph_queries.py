@@ -221,3 +221,128 @@ def test_triangle_counts_edge_cases(spark):
            for r in triangle_counts(
                pdf.pipe(lambda p: spark.createDataFrame(p))).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# property paths + filters/select
+# ---------------------------------------------------------------------------
+
+def _py_closure(tri_pdf, preds, max_depth, src=None, dst=None):
+    E = {(s, o) for s, p, o in
+         tri_pdf[["subj", "pred", "obj"]].drop_duplicates().values
+         if p in preds}
+    paths = set(E)
+    frontier = set(E)
+    for _ in range(1, max_depth):
+        nxt = {(a, c) for a, b in frontier for b2, c in E
+               if b == b2} - paths
+        if not nxt:
+            break
+        paths |= nxt
+        frontier = nxt
+    if src is not None:
+        paths = {(a, b) for a, b in paths if a == src}
+    if dst is not None:
+        paths = {(a, b) for a, b in paths if b == dst}
+    return paths
+
+
+def test_alternation_vs_duckdb(triples_df, triples_pdf):
+    from char_ner_spark.graph import PredPath
+
+    got = match_pattern(
+        triples_df, [("?a", ("works_for", "born_in"), "?b")])
+    con = duckdb.connect()
+    con.register("t", triples_pdf)
+    want = con.execute("""
+        SELECT DISTINCT subj AS a, obj AS b FROM t
+        WHERE pred IN ('works_for', 'born_in')
+    """).fetchall()
+    assert _spark_rows(got) == set(map(tuple, want))
+    # PredPath object form is identical to the tuple sugar
+    got2 = match_pattern(
+        triples_df, [("?a", PredPath(["born_in", "works_for"]), "?b")])
+    assert _spark_rows(got2) == _spark_rows(got)
+
+
+def test_closure_chain_planted(spark):
+    # a → b → c → d chain plus noise: p+ must find all forward pairs
+    pdf = pd.DataFrame({
+        "subj": [1, 2, 3, 7, 8],
+        "pred": ["located_in"] * 4 + ["works_for"],
+        "obj": [2, 3, 4, 8, 9],
+    })
+    df = spark.createDataFrame(pdf)
+    got = _spark_rows(match_pattern(df, [("?x", "located_in+", "?y")]))
+    assert got == {(1, 2), (2, 3), (3, 4), (1, 3), (2, 4), (1, 4), (7, 8)}
+    # constant seed restricts to reachable-from-1
+    got1 = _spark_rows(match_pattern(df, [(1, "located_in+", "?y")]))
+    assert got1 == {(2,), (3,), (4,)}
+    # bounded depth cuts long paths
+    got_d1 = _spark_rows(match_pattern(
+        df, [("?x", __import__("char_ner_spark.graph", fromlist=["PredPath"])
+              .PredPath(["located_in"], closure=True, max_depth=1), "?y")]))
+    assert got_d1 == {(1, 2), (2, 3), (3, 4), (7, 8)}
+
+
+def test_closure_vs_duckdb_recursive_cte(triples_df, triples_pdf):
+    got = _spark_rows(match_pattern(triples_df, [("?x", "works_for+", "?y")]))
+    con = duckdb.connect()
+    con.register("t", triples_pdf)
+    want = con.execute("""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT subj, obj FROM t WHERE pred = 'works_for'
+        ), cl(s, o, d) AS (
+            SELECT subj, obj, 1 FROM e
+            UNION
+            SELECT cl.s, e.obj, cl.d + 1 FROM cl JOIN e ON cl.o = e.subj
+            WHERE cl.d < 8
+        )
+        SELECT DISTINCT s, o FROM cl
+    """).fetchall()
+    assert got == set(map(tuple, want))
+
+
+def test_closure_fuzz_python_oracle(spark):
+    rng = np.random.RandomState(9)
+    for trial in range(6):
+        pdf = _rand_triples(n_rows=rng.randint(20, 80),
+                            n_ent=rng.randint(4, 9), seed=300 + trial)
+        df = spark.createDataFrame(pdf)
+        want = _py_closure(pdf, {"located_in"}, 8)
+        got = _spark_rows(match_pattern(df, [("?x", "located_in+", "?y")]))
+        assert got == want, trial
+        # cycle pattern: x reaches itself
+        gotc = _spark_rows(match_pattern(df, [("?x", "located_in+", "?x")]))
+        assert gotc == {(a,) for a, b in want if a == b}, trial
+        # dst-seeded
+        if want:
+            dsts = sorted({b for _, b in want})
+            d0 = dsts[0]
+            gd = _spark_rows(match_pattern(df, [("?x", "located_in+", int(d0))]))
+            assert gd == {(a,) for a, b in want if b == d0}, trial
+
+
+def test_closure_composes_with_plain_legs(triples_df, triples_pdf):
+    pattern = [("?a", "works_for", "?b"), ("?b", "located_in+", "?c")]
+    got = _spark_rows(match_pattern(triples_df, pattern))
+    cl = _py_closure(triples_pdf, {"located_in"}, 8)
+    tri = set(map(tuple, triples_pdf[["subj", "pred", "obj"]]
+                  .drop_duplicates().values))
+    want = {(s, o, c) for s, p, o in tri if p == "works_for"
+            for (b, c) in cl if b == o}
+    assert got == want
+
+
+def test_filters_and_select(triples_df, triples_pdf):
+    pattern = [("?person", "works_for", "?org"),
+               ("?org", "located_in", "?place")]
+    got = match_pattern(triples_df, pattern,
+                        filters=["person != place", "org % 2 = 0"],
+                        select=["person", "place"])
+    assert got.columns == ["person", "place"]
+    want_full, _ = _py_match(triples_pdf, pattern)
+    want = {(p, pl) for p, o, pl in want_full if p != pl and o % 2 == 0}
+    assert _spark_rows(got) == want
+    with pytest.raises(ValueError, match="unbound"):
+        match_pattern(triples_df, pattern, select=["nope"])
