@@ -30,6 +30,21 @@ SCALES = tuple(
 )
 
 
+def host_fingerprint() -> str:
+    """cpu-count + model string — identifies the sandbox VM generation
+    (the VM migrates between rounds; same core count, different silicon)."""
+    model = "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return f"{os.cpu_count()}c {model}"
+
+
 def make_zip() -> str:
     zpath = os.path.join(CACHE, "char_ner_spark.zip")
     os.makedirs(CACHE, exist_ok=True)
@@ -163,10 +178,26 @@ def main() -> int:
         hist_path = os.path.join(
             REPO, "BENCH", f"scaling_history_{SCALES[0]}x{SCALES[1]}.json"
         )
+    host_fp = host_fingerprint()
     if os.path.exists(hist_path):
         with open(hist_path) as f:
             hist = json.load(f)
-        if hist.get("corpus_pages") == n_pages and hist.get("scales") == list(SCALES):
+        # runs from a DIFFERENT HOST are not comparable (the sandbox VM
+        # migrates between rounds — microarchitecture and memory bandwidth
+        # change even when the core count does not): archive them and
+        # start a fresh accumulation instead of mixing best-per-scale
+        # legs across hosts. Legacy histories predate host tracking and
+        # are archived the first time they are seen on a tracked host.
+        stored_fp = hist.get("host")
+        if stored_fp != host_fp:
+            tag = (stored_fp or "untracked").replace(" ", "_")[:40]
+            arch = hist_path.replace(".json", f"_{tag}.json")
+            if not os.path.exists(arch):
+                os.rename(hist_path, arch)
+            print(f"host changed ({stored_fp!r} → {host_fp!r}): archived "
+                  f"{os.path.basename(arch)}, fresh accumulation")
+        elif (hist.get("corpus_pages") == n_pages
+                and hist.get("scales") == list(SCALES)):
             for c, runs in hist.get("runs", {}).items():
                 all_runs[int(c)].extend(runs)
     for _ in range(repeats):
@@ -178,6 +209,7 @@ def main() -> int:
     with open(hist_path, "w") as f:
         json.dump(
             {"corpus_pages": n_pages, "scales": list(SCALES),
+             "host": host_fp,
              "runs": {str(c): v for c, v in all_runs.items()}},
             f, indent=1,
         )
@@ -204,6 +236,7 @@ def main() -> int:
             "scaling_efficiency": round(last_eff, 3),
         },
         "corpus_pages": n_pages,
+        "host": host_fp,
         "note": f"local[{lo}] vs local[{hi}] on one host — sandbox proxy for N vs 4N executors (no real cluster available)",
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -229,7 +262,7 @@ def main() -> int:
 
 ## KG pipeline scaling (north_rule: ≥0.8 efficiency from N to 4N executors)
 
-Environment: single 32-core host, Spark local mode, separate JVM per run via
+Environment: single host ({host_fp}), Spark local mode, separate JVM per run via
 `spark-submit --py-files char_ner_spark.zip` — **sandbox proxy for N vs 4N
 executors** (no real cluster in this environment; documented per driver
 instruction). Input: {n_pages} deterministic fixture pages
