@@ -425,7 +425,8 @@ def _closure_pairs(base: DataFrame, path: PredPath,
 
 def match_pattern(triples: DataFrame, pattern,
                   allow_product: bool = False,
-                  filters=None, select=None) -> DataFrame:
+                  filters=None, select=None,
+                  optional=None, minus=None) -> DataFrame:
     """Evaluate a basic graph pattern (the SPARQL BGP core) over the
     triple table → one column per variable, one row per solution.
 
@@ -478,12 +479,69 @@ def match_pattern(triples: DataFrame, pattern,
       (``["person != place"]``), applied to the joined solutions —
       Catalyst pushes each as deep as legality allows;
     * ``select``: project a subset of variables; the result is
-      re-distinct-ed, matching SPARQL's ``SELECT DISTINCT``.
+      re-distinct-ed, matching SPARQL's ``SELECT DISTINCT``;
+    * ``optional``: a list of pattern GROUPS, each a list of legs —
+      SPARQL ``OPTIONAL``: a left join on the variables shared with the
+      required pattern; a group's new variables come back null where it
+      found no match. Each group must share ≥1 variable with the
+      required pattern, and two optional groups may not bind the same
+      new variable (the supported scoping subset — nested/correlated
+      OPTIONAL is out of scope);
+    * ``minus``: a list of pattern groups — SPARQL ``MINUS``: solutions
+      agreeing with a minus group on its shared variables are removed
+      (one anti-join per group on the DISTINCT projection of the shared
+      variables; disjoint-domain groups are refused rather than silently
+      removing nothing).
+
+    Evaluation order matches SPARQL group semantics: required pattern →
+    OPTIONAL extensions → MINUS removals → FILTERs → SELECT projection.
     """
+    base = triples.select("subj", "pred", "obj").distinct()
+    acc, var_order = _compile_bgp(base, pattern, allow_product)
+    required_vars = set(var_order)
+    for grp in (optional or []):
+        opt, opt_vars = _compile_bgp(base, grp, allow_product)
+        shared = [v for v in opt_vars if v in required_vars]
+        if not shared:
+            raise ValueError(
+                "optional group shares no variable with the required "
+                "pattern — it would multiply solutions, not extend them")
+        new = [v for v in opt_vars if v not in var_order]
+        clash = [v for v in opt_vars if v in var_order
+                 and v not in required_vars]
+        if clash:
+            raise ValueError(f"variable(s) {clash} bound by two optional "
+                             "groups (unsupported scoping)")
+        acc = acc.join(opt, on=shared, how="left")
+        var_order = var_order + new
+    for grp in (minus or []):
+        m, m_vars = _compile_bgp(base, grp, allow_product)
+        shared = [v for v in m_vars if v in var_order]
+        if not shared:
+            raise ValueError(
+                "minus group shares no variable with the pattern — SPARQL "
+                "MINUS over disjoint domains removes nothing; this is "
+                "almost certainly a query bug")
+        acc = acc.join(m.select(*shared).distinct(), on=shared,
+                       how="left_anti")
+    acc = acc.select(*var_order)
+    for expr in (filters or []):
+        acc = acc.filter(expr)
+    if select is not None:
+        missing = [v for v in select if v not in var_order]
+        if missing:
+            raise ValueError(f"select names unbound variables: {missing}")
+        acc = acc.select(*select).distinct()
+    return acc
+
+
+def _compile_bgp(base: DataFrame, pattern, allow_product: bool):
+    """Compile one BGP group over the distinct-triples frame → (solutions
+    DataFrame, variable order). The shared core of required / optional /
+    minus groups in :func:`match_pattern`."""
     pattern = list(pattern)
     if not pattern:
         raise ValueError("empty pattern")
-    base = triples.select("subj", "pred", "obj").distinct()
 
     legs = []  # (var set, n_constants, leg_df) — variable-binding legs
     gates = []  # fully-ground legs (existence tests)
@@ -579,15 +637,7 @@ def match_pattern(triples: DataFrame, pattern,
     for gate in gates:
         acc = acc.crossJoin(
             F.broadcast(gate.select(F.lit(1).alias("__gate")).limit(1)))
-    acc = acc.select(*var_order)
-    for expr in (filters or []):
-        acc = acc.filter(expr)
-    if select is not None:
-        missing = [v for v in select if v not in var_order]
-        if missing:
-            raise ValueError(f"select names unbound variables: {missing}")
-        acc = acc.select(*select).distinct()
-    return acc
+    return acc.select(*var_order), var_order
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

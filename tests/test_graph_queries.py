@@ -346,3 +346,78 @@ def test_filters_and_select(triples_df, triples_pdf):
     assert _spark_rows(got) == want
     with pytest.raises(ValueError, match="unbound"):
         match_pattern(triples_df, pattern, select=["nope"])
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL / MINUS
+# ---------------------------------------------------------------------------
+
+def test_optional_left_join(triples_df, triples_pdf):
+    req = [("?person", "works_for", "?org")]
+    opt = [("?person", "born_in", "?birth")]
+    got = match_pattern(triples_df, req, optional=[opt])
+    assert got.columns == ["person", "org", "birth"]
+    want_req, _ = _py_match(triples_pdf, req)
+    born = {}
+    tri = set(map(tuple, triples_pdf[["subj", "pred", "obj"]]
+                  .drop_duplicates().values))
+    for s, p, o in tri:
+        if p == "born_in":
+            born.setdefault(s, set()).add(o)
+    want = set()
+    for person, org in want_req:
+        if person in born:
+            want |= {(person, org, b) for b in born[person]}
+        else:
+            want.add((person, org, None))
+    assert _spark_rows(got) == want
+    # unmatched rows really are null, not dropped
+    assert any(b is None for _, _, b in _spark_rows(got)) == any(
+        p not in born for p, _ in want_req)
+
+
+def test_optional_guards(triples_df):
+    req = [("?person", "works_for", "?org")]
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_pattern(triples_df, req, optional=[[("?a", "born_in", "?b")]])
+    with pytest.raises(ValueError, match="two optional groups"):
+        match_pattern(
+            triples_df, req,
+            optional=[[("?person", "born_in", "?x")],
+                      [("?org", "located_in", "?x")]])
+
+
+def test_minus_removal(triples_df, triples_pdf):
+    req = [("?person", "works_for", "?org")]
+    got = match_pattern(triples_df, req,
+                        minus=[[("?person", "born_in", "?anywhere")]])
+    want_req, _ = _py_match(triples_pdf, req)
+    tri = set(map(tuple, triples_pdf[["subj", "pred", "obj"]]
+                  .drop_duplicates().values))
+    born = {s for s, p, o in tri if p == "born_in"}
+    want = {(p, o) for p, o in want_req if p not in born}
+    assert _spark_rows(got) == want
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_pattern(triples_df, req, minus=[[("?a", "born_in", "?b")]])
+
+
+def test_optional_then_minus_then_filter(triples_df, triples_pdf):
+    req = [("?person", "works_for", "?org")]
+    got = match_pattern(
+        triples_df, req,
+        optional=[[("?org", "located_in", "?place")]],
+        minus=[[("?person", "born_in", 0)]],
+        filters=["place IS NOT NULL"],
+        select=["person", "place"])
+    tri = set(map(tuple, triples_pdf[["subj", "pred", "obj"]]
+                  .drop_duplicates().values))
+    loc = {}
+    for s, p, o in tri:
+        if p == "located_in":
+            loc.setdefault(s, set()).add(o)
+    born0 = {s for s, p, o in tri if p == "born_in" and o == 0}
+    want = {(person, pl)
+            for person, org in _py_match(triples_pdf, req)[0]
+            if person not in born0
+            for pl in loc.get(org, set())}
+    assert _spark_rows(got) == want
