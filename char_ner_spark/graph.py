@@ -535,10 +535,14 @@ def match_pattern(triples: DataFrame, pattern,
     return acc
 
 
-def _compile_bgp(base: DataFrame, pattern, allow_product: bool):
+def _compile_bgp(base: DataFrame, pattern, allow_product: bool,
+                 leg_bases=None):
     """Compile one BGP group over the distinct-triples frame → (solutions
     DataFrame, variable order). The shared core of required / optional /
-    minus groups in :func:`match_pattern`."""
+    minus groups in :func:`match_pattern`; ``leg_bases`` (parallel to
+    ``pattern``, entries None or a (subj, pred, obj) frame) overrides the
+    source of individual legs — :func:`infer`'s semi-naive delta
+    restriction (plain legs only)."""
     pattern = list(pattern)
     if not pattern:
         raise ValueError("empty pattern")
@@ -546,10 +550,17 @@ def _compile_bgp(base: DataFrame, pattern, allow_product: bool):
     legs = []  # (var set, n_constants, leg_df) — variable-binding legs
     gates = []  # fully-ground legs (existence tests)
     var_order: list[str] = []  # output column order: first appearance
-    for s, p, o in pattern:
+    for idx, (s, p, o) in enumerate(pattern):
+        src = base
+        if leg_bases is not None and leg_bases[idx] is not None:
+            src = leg_bases[idx]
         pp = _as_predpath(p)
         pos_of_var: dict[str, str] = {}
         if pp is not None:
+            if leg_bases is not None and leg_bases[idx] is not None:
+                raise ValueError(
+                    "per-leg source override is not supported for "
+                    "property-path legs")
             # property-path leg (alternation / bounded closure): the pred
             # position is consumed by the path; only subj/obj bind
             sv, sc = _parse_term(s)
@@ -574,7 +585,7 @@ def _compile_bgp(base: DataFrame, pattern, allow_product: bool):
                 else:
                     pos_of_var[ov] = "obj"
         else:
-            leg = base
+            leg = src
             n_const = 0
             for pos, term in (("subj", s), ("pred", p), ("obj", o)):
                 v, const = _parse_term(term)
@@ -707,3 +718,115 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("entity").agg(F.count("*").alias("n_triangles"))
     )
     return per_entity
+
+
+# ---------------------------------------------------------------------------
+# rule-based enrichment: CONSTRUCT + datalog-style fixpoint inference
+# ---------------------------------------------------------------------------
+
+def _head_cols(head, bound_vars):
+    cols = []
+    for pos, term in zip(("subj", "pred", "obj"), head):
+        v, const = _parse_term(term)
+        if v is not None:
+            if v not in bound_vars:
+                raise ValueError(
+                    f"head variable ?{v} is not bound by the rule body")
+            cols.append(F.col(v).alias(pos))
+        else:
+            cols.append(F.lit(const).alias(pos))
+    return cols
+
+
+def construct(triples: DataFrame, pattern, head,
+              **match_kwargs) -> DataFrame:
+    """SPARQL CONSTRUCT: match ``pattern`` (full :func:`match_pattern`
+    surface — paths, optional, minus, filters) and emit one NEW triple per
+    solution through the ``head`` template, e.g.::
+
+        construct(t, [("?p", "works_for", "?o"),
+                      ("?o", "located_in", "?c")],
+                  head=("?p", "based_in", "?c"))
+
+    → distinct (subj, pred, obj) rows. Head terms are variables bound by
+    the body or constants."""
+    sols = match_pattern(triples, pattern, **match_kwargs)
+    return sols.select(*_head_cols(head, set(sols.columns))).distinct()
+
+
+def infer(triples: DataFrame, rules, max_rounds: int = 10,
+          include_base: bool = False) -> DataFrame:
+    """Datalog-style fixpoint inference: apply ``rules`` (list of
+    ``(body_pattern, head_template)``) until no rule derives a new triple
+    (or ``max_rounds``), returning the DERIVED triples (``include_base``
+    adds the input assertions).
+
+    Evaluation is SEMI-NAIVE — the textbook datalog optimization and the
+    only shape that scales: after the first round, a rule can only fire
+    through a fact derived LAST round, so each body is re-evaluated once
+    per leg with THAT leg restricted to the round's delta (|delta| ≪
+    |facts|) and every other leg reading the accumulated fact set; naive
+    re-evaluation would redo the whole join over all facts every round.
+    Per-round discipline matches the CC/closure loops: delta is
+    deduplicated against all known facts (anti-join), localCheckpoint
+    truncates the iterated lineage, fresh attribute ids per round (same
+    Spark 4.1 checkpoint quirk as :func:`_closure_pairs`), early exit on
+    an empty delta. Non-convergence within ``max_rounds`` raises — a
+    silent cut would return a fact set that LOOKS complete.
+
+    Rule bodies are plain BGP legs (no property paths — a closure INSIDE
+    a round would hide derivation steps from the fixpoint; express
+    transitivity as a rule instead, e.g. ``[("?x", "p", "?y"),
+    ("?y", "p", "?z")] → ("?x", "p", "?z")``)."""
+    import functools
+
+    for body, head in rules:
+        for leg in body:
+            if _as_predpath(leg[1]) is not None:
+                raise ValueError(
+                    "property paths are not allowed in rule bodies; "
+                    "express closure as a recursive rule")
+
+    fresh = lambda df: df.toDF("subj", "pred", "obj")
+    base0 = fresh(
+        triples.select("subj", "pred", "obj").distinct().localCheckpoint())
+    parts = [base0]
+    all_facts = lambda: functools.reduce(lambda a, b: a.union(b), parts)
+    delta = base0
+    converged = False
+    for rnd in range(max_rounds):
+        total = all_facts()
+        derived = []
+        for body, head in rules:
+            if rnd == 0:
+                # first round: every leg reads the full base — one
+                # evaluation per rule (delta == everything)
+                sols, vs = _compile_bgp(total, body, allow_product=False)
+                derived.append(sols.select(*_head_cols(head, set(vs))))
+            else:
+                for i in range(len(body)):
+                    lb = [delta if j == i else None
+                          for j in range(len(body))]
+                    sols, vs = _compile_bgp(total, body,
+                                            allow_product=False,
+                                            leg_bases=lb)
+                    derived.append(
+                        sols.select(*_head_cols(head, set(vs))))
+        new = (functools.reduce(lambda a, b: a.union(b), derived)
+               .distinct()
+               .join(total, ["subj", "pred", "obj"], "left_anti"))
+        new = fresh(new.localCheckpoint())
+        if new.limit(1).count() == 0:
+            converged = True
+            break
+        parts.append(new)
+        delta = new
+    if not converged:
+        raise RuntimeError(
+            f"inference did not reach a fixpoint within {max_rounds} "
+            "rounds; raise max_rounds (or check the rules for unbounded "
+            "generation, e.g. a head minting values no body constrains)")
+    derived_parts = parts[1:] if not include_base else parts
+    if not derived_parts:
+        return base0.limit(0)
+    return functools.reduce(lambda a, b: a.union(b), derived_parts)

@@ -421,3 +421,124 @@ def test_optional_then_minus_then_filter(triples_df, triples_pdf):
             if person not in born0
             for pl in loc.get(org, set())}
     assert _spark_rows(got) == want
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT + datalog fixpoint inference
+# ---------------------------------------------------------------------------
+
+def _py_apply_rule(facts, body, head):
+    sols = [dict()]
+    for s, p, o in body:
+        nxt = []
+        for b in sols:
+            for ts, tp, to in facts:
+                bb = dict(b)
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if isinstance(term, str) and term.startswith("?"):
+                        v = term[1:]
+                        if v in bb and bb[v] != val:
+                            ok = False
+                            break
+                        bb[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(bb)
+        sols = nxt
+    out = set()
+    for b in sols:
+        t = tuple(b[t[1:]] if isinstance(t, str) and t.startswith("?") else t
+                  for t in head)
+        out.add(t)
+    return out
+
+
+def _py_infer(tri_pdf, rules, max_rounds=10):
+    facts = set(map(tuple, tri_pdf[["subj", "pred", "obj"]]
+                    .drop_duplicates().values))
+    base = set(facts)
+    for _ in range(max_rounds):
+        new = set()
+        for body, head in rules:
+            new |= _py_apply_rule(facts, body, head)
+        new -= facts
+        if not new:
+            return facts - base
+        facts |= new
+    raise RuntimeError("oracle did not converge")
+
+
+def test_construct_vs_python(triples_df, triples_pdf):
+    from char_ner_spark.graph import construct
+
+    got = _spark_rows(construct(
+        triples_df,
+        [("?p", "works_for", "?o"), ("?o", "located_in", "?c")],
+        head=("?p", "based_in", "?c")))
+    facts = set(map(tuple, triples_pdf[["subj", "pred", "obj"]]
+                    .drop_duplicates().values))
+    want = _py_apply_rule(
+        facts, [("?p", "works_for", "?o"), ("?o", "located_in", "?c")],
+        ("?p", "based_in", "?c"))
+    assert got == want and all(p == "based_in" for _, p, _ in got)
+    with pytest.raises(ValueError, match="not bound"):
+        construct(triples_df, [("?p", "works_for", "?o")],
+                  head=("?p", "based_in", "?nope"))
+
+
+def test_infer_transitive_closure_rule(spark):
+    from char_ner_spark.graph import infer
+
+    pdf = pd.DataFrame({
+        "subj": [1, 2, 3, 7],
+        "pred": ["located_in"] * 4,
+        "obj": [2, 3, 4, 8],
+    })
+    rule = ([("?x", "located_in", "?y"), ("?y", "located_in", "?z")],
+            ("?x", "located_in", "?z"))
+    got = _spark_rows(infer(spark.createDataFrame(pdf), [rule]))
+    # derived = closure minus the base edges
+    assert got == {(1, "located_in", 3), (1, "located_in", 4),
+                   (2, "located_in", 4)}
+    # include_base returns the full closure
+    got_all = _spark_rows(infer(spark.createDataFrame(pdf), [rule],
+                                include_base=True))
+    assert got_all == got | {(1, "located_in", 2), (2, "located_in", 3),
+                             (3, "located_in", 4), (7, "located_in", 8)}
+
+
+def test_infer_multi_rule_interaction(triples_df, triples_pdf):
+    from char_ner_spark.graph import infer
+
+    rules = [
+        ([("?p", "works_for", "?o"), ("?o", "located_in", "?c")],
+         ("?p", "based_in", "?c")),
+        # recursive through the DERIVED pred: based_in lifts through
+        # located_in containment
+        ([("?p", "based_in", "?c"), ("?c", "located_in", "?d")],
+         ("?p", "based_in", "?d")),
+    ]
+    got = _spark_rows(infer(triples_df, rules, max_rounds=15))
+    want = _py_infer(triples_pdf, rules, max_rounds=15)
+    assert got == want and len(got) > 0
+
+
+def test_infer_guards(spark, triples_df):
+    from char_ner_spark.graph import infer
+
+    pdf = pd.DataFrame({"subj": [1, 2, 3], "pred": ["p"] * 3,
+                        "obj": [2, 3, 1]})  # 3-cycle: closure saturates
+    rule = ([("?x", "p", "?y"), ("?y", "p", "?z")], ("?x", "p", "?z"))
+    # converges (closure of a cycle is all 9 pairs) within enough rounds
+    got = _spark_rows(infer(spark.createDataFrame(pdf), [rule]))
+    assert len(got) == 9 - 3
+    # too-low round budget fails loud, not silently-partial
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        infer(triples_df,
+              [([("?x", "works_for", "?y")], ("?y", "works_for", "?x"))],
+              max_rounds=1)
+    with pytest.raises(ValueError, match="property paths"):
+        infer(triples_df, [([("?x", "p+", "?y")], ("?x", "q", "?y"))])

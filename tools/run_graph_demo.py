@@ -27,7 +27,7 @@ def main() -> int:
     from char_ner_spark.export import read_ntriples, triples_to_ntriples, \
         write_ntriples
     from char_ner_spark.fixtures import make_alias_table, make_pages
-    from char_ner_spark.graph import (degrees, k_hop, match_pattern,
+    from char_ner_spark.graph import (degrees, infer, k_hop, match_pattern,
                                       pagerank, triangle_counts,
                                       triple_support,
                                       weakly_connected_components)
@@ -118,6 +118,30 @@ def main() -> int:
                         want_tc[v] = want_tc.get(v, 0) + 1
     tri_ok = tc == want_tc
 
+    # datalog fixpoint: located_in transitivity + works_for∘located_in ⇒
+    # based_in, vs a driver-side naive fixpoint on the same facts
+    rules = [
+        ([("?x", "located_in", "?y"), ("?y", "located_in", "?z")],
+         ("?x", "located_in", "?z")),
+        ([("?p", "works_for", "?o"), ("?o", "located_in", "?c")],
+         ("?p", "based_in", "?c")),
+    ]
+    got_inf = {tuple(r) for r in infer(triples, rules, max_rounds=20)
+               .collect()}
+    facts = set(tri_set)
+    base_facts = set(facts)
+    for _ in range(20):
+        loc = {(s, o) for s, p, o in facts if p == "located_in"}
+        wf = {(s, o) for s, p, o in facts if p == "works_for"}
+        new = ({(a, "located_in", d) for a, b in loc for c, d in loc
+                if b == c}
+               | {(a, "based_in", c) for a, b in wf for b2, c in loc
+                  if b == b2}) - facts
+        if not new:
+            break
+        facts |= new
+    infer_ok = got_inf == (facts - base_facts)
+
     nt_dir = os.path.join(out_dir, "export_nt")
     write_ntriples(triples_to_ntriples(triples), nt_dir)
     back = read_ntriples(spark, nt_dir)
@@ -138,6 +162,7 @@ def main() -> int:
         "triple_support_ok": bool(sup_ok),
         "bgp_match_ok": bool(bgp_ok),
         "triangles_ok": bool(tri_ok),
+        "infer_fixpoint_ok": bool(infer_ok),
         "ntriples_roundtrip_ok": bool(export_ok),
     }
     ok = all(v for k, v in result.items() if k.endswith("_ok"))
