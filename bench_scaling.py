@@ -225,6 +225,20 @@ def main() -> int:
 
     lo, hi = SCALES
     eff = (results[hi]["triples_per_sec"] / results[lo]["triples_per_sec"]) / (hi / lo)
+    # per-PAIR efficiencies: runs append interleaved (lo then hi per
+    # repeat), so index i of each scale is one same-session pair — each
+    # pair shares its host window, making the ratio internally consistent;
+    # the MEDIAN across pairs is the noise-robust summary on a shared VM
+    # whose windows swing both legs (best-per-scale can DROP when a good
+    # window improves only the small-scale leg)
+    n_pairs = min(len(all_runs[lo]), len(all_runs[hi]))
+    pair_effs = [
+        round((all_runs[hi][i]["triples_per_sec"]
+               / all_runs[lo][i]["triples_per_sec"]) / (hi / lo), 3)
+        for i in range(n_pairs)
+    ]
+    med_eff = round(sorted(pair_effs)[len(pair_effs) // 2], 3) \
+        if pair_effs else None
     # THIS session's freshest pair (current code, interleaved minutes apart)
     # — internally consistent even when the accumulated best legs come from
     # an earlier revision or a different host window
@@ -234,6 +248,8 @@ def main() -> int:
         "scales": list(SCALES),
         "results": {str(k): v for k, v in results.items()},
         "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": pair_effs,
+        "median_pair_efficiency": med_eff,
         "last_pair": {
             str(lo): last_lo, str(hi): last_hi,
             "scaling_efficiency": round(last_eff, 3),
@@ -280,7 +296,15 @@ full pipeline (tag → link → canonicalize → triples), best of
 | local[{hi}] | {results[hi]['pages']} | {results[hi]['triples']} | {results[hi]['sec']} | {results[hi]['triples_per_sec']} | {results[hi]['pages_per_sec']} |
 
 **Scaling efficiency ({lo}→{hi} cores): {summary['scaling_efficiency']}**
-(= (tps_{hi}/tps_{lo}) / ({hi}/{lo}); target ≥ 0.8)
+(= (tps_{hi}/tps_{lo}) / ({hi}/{lo}), best run per scale; target ≥ 0.8)
+
+**Median same-session-pair efficiency: {summary['median_pair_efficiency']}**
+over {len(summary['pair_efficiencies'])} interleaved pairs
+({summary['pair_efficiencies']}). Each pair's two legs run minutes apart in
+the same host window, so the per-pair ratio is internally consistent; the
+median is the noise-robust summary on a shared VM whose capacity swings
+2-3× between windows (best-per-scale can DROP when a good window improves
+only the small-scale leg — both views are reported).
 
 Freshest same-session pair (current code, runs interleaved minutes apart):
 local[{lo}] {last_lo['sec']}s ({last_lo['triples_per_sec']} t/s) vs
