@@ -404,6 +404,29 @@ def main() -> int:
         ],
     ))
 
+    # 15b. semi-naive inference round: one rule body with one leg
+    # restricted to the (small) delta — the join must stay an equijoin
+    # with the delta feeding one side only, all JVM
+    from char_ner_spark.graph import _compile_bgp
+
+    tri_all = tri_pq.select("subj", "pred", "obj").distinct()
+    delta_demo = tri_all.limit(3).localCheckpoint()
+    body = [("?p", "works_for", "?o"), ("?o", "located_in", "?c")]
+    sols, _vs = _compile_bgp(tri_all, body, allow_product=False,
+                             leg_bases=[delta_demo, None])
+    p15b = fmt(sols)
+    sections.append((
+        "infer semi-naive round (delta-restricted leg equijoin)", p15b,
+        [
+            ("delta joins the full fact set as an equijoin (no cartesian)",
+             "CartesianProduct" not in p15b
+             and "BroadcastNestedLoop" not in p15b),
+            ("all JVM (no Python eval in the plan)", "EvalPython" not in p15b),
+            ("non-delta leg still scans with its pred filter pushed",
+             "EqualTo(pred,located_in)" in p15b),
+        ],
+    ))
+
     # 16. triangle_counts: oriented wedge join is an equijoin (the O(m^1.5)
     # bound rests on never materializing a nested-loop pair expansion)
     p16 = fmt(triangle_counts(edges_g))
