@@ -72,7 +72,8 @@ PR_DISTRIBUTED_THRESHOLD = 5_000_000
 def pagerank(edges: DataFrame, alpha: float = 0.85, tol: float = 1e-9,
              max_iter: int = 200, weighted: bool = True,
              distributed_threshold: int = PR_DISTRIBUTED_THRESHOLD,
-             exact_iters: int | None = None) -> DataFrame:
+             exact_iters: int | None = None,
+             personalize: DataFrame | None = None) -> DataFrame:
     """PageRank over the entity graph → (entity, rank), ranks sum to 1.
 
     Semantics: directed graph from the distinct (src, dst) pairs (parallel
@@ -95,7 +96,16 @@ def pagerank(edges: DataFrame, alpha: float = 0.85, tol: float = 1e-9,
     (``exact_iters`` runs exactly that many rounds, no convergence test —
     the hook that lets tests compare the paths without waiting out ~130
     latency-bound rounds). Raises on non-convergence within
-    ``max_iter``."""
+    ``max_iter``.
+
+    ``personalize``: a (entity) seed frame → PERSONALIZED PageRank (the
+    KG-consumer relatedness query "what is central relative to THESE
+    entities"): teleport and dangling mass go uniformly to the seed set
+    instead of all vertices, so rank mass concentrates in the seeds'
+    neighborhood. Seeds outside the graph are ignored; an empty effective
+    seed set raises. The update rule generalizes uniformly — the reset
+    vector e is 1/|V| everywhere (classic) or 1/|seeds| on seeds:
+    ``r' = ((1-alpha) + alpha*dangling_mass) * e + alpha * inflow``."""
     from pyspark.sql import Observation
 
     spark = edges.sparkSession
@@ -104,8 +114,13 @@ def pagerank(edges: DataFrame, alpha: float = 0.85, tol: float = 1e-9,
     if not weighted:
         g = g.withColumn("w", F.lit(1.0))
     g = g.localCheckpoint()  # consumed 2-4×: count probe, out_w, trans/collect
+    seeds = (personalize.select("entity").distinct().localCheckpoint()
+             if personalize is not None else None)
     if g.count() <= distributed_threshold:
-        return _pagerank_driver(spark, g, alpha, tol, max_iter, exact_iters)
+        seed_ids = (frozenset(r["entity"] for r in seeds.collect())
+                    if seeds is not None else None)
+        return _pagerank_driver(spark, g, alpha, tol, max_iter, exact_iters,
+                                seed_ids)
     out_w = g.groupBy("src").agg(F.sum("w").alias("out_w"))
     # loop-invariant sides are PERSISTED, not checkpointed: an
     # InMemoryRelation keeps the repartition's outputPartitioning visible
@@ -119,7 +134,7 @@ def pagerank(edges: DataFrame, alpha: float = 0.85, tol: float = 1e-9,
         .repartition(npart, "src")
         .persist()
     )
-    verts = (
+    verts_base = (
         g.select(F.col("src").alias("entity"))
         .union(g.select(F.col("dst").alias("entity")))
         .distinct()
@@ -129,6 +144,7 @@ def pagerank(edges: DataFrame, alpha: float = 0.85, tol: float = 1e-9,
         .repartition(npart, "entity")
         .persist()
     )
+    verts = verts_base
     try:
         counts = verts.agg(
             F.count("*").alias("n"),
@@ -136,13 +152,40 @@ def pagerank(edges: DataFrame, alpha: float = 0.85, tol: float = 1e-9,
         n, n_dang = int(counts["n"]), int(counts["nd"] or 0)
         if n == 0:
             return spark.createDataFrame([], "entity long, rank double")
-        ranks = verts.select("entity", "dang", F.lit(1.0 / n).alias("rank"))
-        d_mass = n_dang / n
+        if seeds is None:
+            verts = verts.withColumn("reset", F.lit(1.0 / n))
+            d_mass = n_dang / n
+        else:
+            # broadcast the (query-scale) seed set; narrow ops keep the
+            # persisted entity partitioning visible to the per-round join
+            verts = (
+                verts.join(
+                    F.broadcast(seeds.withColumn("is_seed", F.lit(True))),
+                    "entity", "left")
+                .withColumn("is_seed",
+                            F.coalesce("is_seed", F.lit(False)))
+            )
+            stats = verts.agg(
+                F.sum(F.col("is_seed").cast("long")).alias("ns"),
+                F.sum(F.when(F.col("is_seed") & F.col("dang"),
+                             F.lit(1.0)).otherwise(0.0)).alias("sd"),
+            ).collect()[0]
+            n_seed = int(stats["ns"] or 0)
+            if n_seed == 0:
+                raise ValueError(
+                    "personalize: no seed entity exists in the graph")
+            verts = (verts.withColumn(
+                "reset", F.when(F.col("is_seed"),
+                                F.lit(1.0 / n_seed)).otherwise(F.lit(0.0)))
+                .drop("is_seed"))
+            d_mass = float(stats["sd"] or 0.0) / n_seed
+        ranks = verts.select("entity", "dang",
+                             F.col("reset").alias("rank"))
         rounds = max_iter if exact_iters is None else exact_iters
         for it in range(rounds):
             obs = Observation(f"pr_delta_{it}")
             new_ranks = (
-                _pr_step(verts, ranks, trans, n, alpha, d_mass)
+                _pr_step(verts, ranks, trans, alpha, d_mass)
                 .observe(
                     obs,
                     F.sum(F.abs(F.col("rank") - F.col("old"))).alias("l1"),
@@ -166,28 +209,28 @@ def pagerank(edges: DataFrame, alpha: float = 0.85, tol: float = 1e-9,
         )
     finally:
         trans.unpersist()
-        verts.unpersist()
+        verts_base.unpersist()
 
 
 def _pr_step(verts: DataFrame, ranks: DataFrame, trans: DataFrame,
-             n: int, alpha: float, d_mass: float) -> DataFrame:
+             alpha: float, d_mass: float) -> DataFrame:
     """One distributed PageRank round (pre-observation) — factored out so
     the plan audit can inspect exactly the shape the loop executes:
     contributions flow through the once-partitioned transition table, the
     per-round shuffles move only vertex-scale rows, never the edge table.
-    Emits (entity, dang, rank, old)."""
+    ``verts`` carries the reset vector (uniform 1/n classic, seed-uniform
+    personalized); emits (entity, dang, rank, old)."""
     contrib = (
         ranks.select(F.col("entity").alias("src"), "rank")
         .join(trans, "src")
         .groupBy(F.col("dst").alias("entity"))
         .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
     )
-    base = (1.0 - alpha) / n + alpha * d_mass / n
     return (
         verts.join(contrib, "entity", "left")
         .select(
             "entity", "dang",
-            (F.lit(base)
+            (F.lit(1.0 - alpha + alpha * d_mass) * F.col("reset")
              + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0))
              ).alias("rank"),
         )
@@ -196,11 +239,13 @@ def _pr_step(verts: DataFrame, ranks: DataFrame, trans: DataFrame,
 
 
 def _pagerank_driver(spark, g: DataFrame, alpha: float, tol: float,
-                     max_iter: int, exact_iters: int | None) -> DataFrame:
+                     max_iter: int, exact_iters: int | None,
+                     seed_ids=None) -> DataFrame:
     """Sparse power iteration on the collapsed (src, dst, w) edge list —
     the broadcast-sized fast path. Identical update rule to the
-    distributed loop (uniform dangling redistribution); parity-tested
-    iteration-for-iteration against it."""
+    distributed loop (dangling + teleport mass redistributed over the
+    reset vector — uniform classic, seed-uniform personalized);
+    parity-tested iteration-for-iteration against it."""
     import numpy as np
     import pandas as pd
 
@@ -218,14 +263,21 @@ def _pagerank_driver(spark, g: DataFrame, alpha: float, tol: float,
     np.add.at(out_w, si, w)
     p = w / out_w[si]
     dang = out_w == 0.0
-    r = np.full(n, 1.0 / n)
+    if seed_ids is None:
+        e = np.full(n, 1.0 / n)
+    else:
+        mask = np.array([v in seed_ids for v in nodes.tolist()])
+        if not mask.any():
+            raise ValueError(
+                "personalize: no seed entity exists in the graph")
+        e = np.where(mask, 1.0 / mask.sum(), 0.0)
+    r = e.copy()
     rounds = max_iter if exact_iters is None else exact_iters
     converged = exact_iters is not None
     for _ in range(rounds):
         inflow = np.zeros(n)
         np.add.at(inflow, di, r[si] * p)
-        base = (1.0 - alpha) / n + alpha * r[dang].sum() / n
-        r_new = base + alpha * inflow
+        r_new = (1.0 - alpha + alpha * r[dang].sum()) * e + alpha * inflow
         l1 = np.abs(r_new - r).sum()
         r = r_new
         if exact_iters is None and l1 <= tol:

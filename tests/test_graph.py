@@ -246,3 +246,78 @@ def test_weakly_connected_components_matches_union_find(spark, edges_df,
     got = {r.entity: r.component
            for r in weakly_connected_components(edges_df).collect()}
     assert got == want
+
+
+def _ppr_oracle(edges_pdf, seed_set, alpha=0.85, iters=5000):
+    g = edges_pdf.groupby(["src", "dst"])["weight"].sum().reset_index()
+    nodes = sorted(set(g.src) | set(g.dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for s, d, w in g.itertuples(index=False):
+        P[idx[s], idx[d]] = w
+    row = P.sum(axis=1)
+    dangling = row == 0
+    P[~dangling] /= row[~dangling, None]
+    seeds = [idx[s] for s in seed_set if s in idx]
+    e = np.zeros(n)
+    e[seeds] = 1.0 / len(seeds)
+    r = e.copy()
+    for _ in range(iters):
+        r_new = (1 - alpha + alpha * r[dangling].sum()) * e + alpha * (r @ P)
+        if np.abs(r_new - r).sum() <= 1e-14:
+            return dict(zip(nodes, r_new))
+        r = r_new
+    return dict(zip(nodes, r))
+
+
+def test_personalized_pagerank_matches_oracle(spark, edges_df, edges_pdf):
+    from char_ner_spark.graph import pagerank
+
+    seed_vals = sorted(set(edges_pdf.src))[:2]
+    seeds = spark.createDataFrame([(int(s),) for s in seed_vals],
+                                  "entity long")
+    got = {r.entity: r.rank
+           for r in pagerank(edges_df, tol=1e-12, max_iter=5000,
+                             personalize=seeds).collect()}
+    want = _ppr_oracle(edges_pdf, set(seed_vals))
+    assert set(got) == set(want)
+    for e, v in want.items():
+        assert got[e] == pytest.approx(v, abs=1e-8)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # locality: the seeds hold more mass than under classic PageRank
+    classic = {r.entity: r.rank
+               for r in pagerank(edges_df, tol=1e-12,
+                                 max_iter=5000).collect()}
+    assert sum(got[s] for s in seed_vals) > sum(classic[s]
+                                                for s in seed_vals)
+
+
+def test_personalized_pagerank_distributed_parity(spark, edges_df,
+                                                  edges_pdf):
+    from char_ner_spark.graph import pagerank
+
+    seed_vals = sorted(set(edges_pdf.dst))[:3]
+    seeds = spark.createDataFrame([(int(s),) for s in seed_vals],
+                                  "entity long")
+    dist = {r.entity: r.rank
+            for r in pagerank(edges_df, exact_iters=6,
+                              distributed_threshold=0,
+                              personalize=seeds).collect()}
+    drv = {r.entity: r.rank
+           for r in pagerank(edges_df, exact_iters=6,
+                             personalize=seeds).collect()}
+    assert set(dist) == set(drv)
+    for e, v in drv.items():
+        assert dist[e] == pytest.approx(v, abs=1e-12)
+
+
+def test_personalized_pagerank_guards(spark, edges_df):
+    from char_ner_spark.graph import pagerank
+
+    ghost = spark.createDataFrame([(10**9,)], "entity long")
+    with pytest.raises(ValueError, match="no seed entity"):
+        pagerank(edges_df, personalize=ghost)
+    with pytest.raises(ValueError, match="no seed entity"):
+        pagerank(edges_df, personalize=ghost, distributed_threshold=0,
+                 exact_iters=2)

@@ -311,9 +311,10 @@ def main() -> int:
     )
     nv = verts.count()
     trans.count()
+    verts_r = verts.withColumn("reset", F.lit(1.0 / nv))
     ranks0 = verts.select("entity", "dang",
                           F.lit(1.0 / nv).alias("rank")).localCheckpoint()
-    p12 = fmt(_pr_step(verts, ranks0, trans, nv, 0.85, 0.0))
+    p12 = fmt(_pr_step(verts_r, ranks0, trans, 0.85, 0.0))
     t12 = outer_tree(p12)
     n_shuffles = len(re.findall(r"\bExchange\b", t12.replace(
         "BroadcastExchange", "BCX")))
