@@ -185,6 +185,177 @@ def verify_shingle_index(spark, table_name: str) -> None:
         )
 
 
+#: broadcast budget (distinct (doc, shingle) rows) for the exact-counting
+#: fast path of ngram_jaccard_pairs. 20M rows ≈ 160 MB of int64 postings
+#: per python worker — comfortably inside the sandbox; on a production
+#: cluster size it to executor pyspark memory. Above the budget the SQL
+#: prefix-join path runs instead (it never materializes the corpus on one
+#: node). Env-tunable so cluster profiles can raise/lower it without code.
+def _nj_counting_budget_rows() -> int:
+    import os
+
+    return int(os.environ.get("CHAR_NER_NJ_BROADCAST_MAX", str(20_000_000)))
+
+
+def _nj_build_index(lists):
+    """Postings lists (one int64 doc-id array per distinct shingle) → the
+    dense counting structure, built ONCE driver-side and broadcast whole
+    (no per-worker rebuild): sorted unique doc ids, per-doc
+    distinct-shingle counts, shingle→dense-doc postings (offsets/values,
+    int32 — doc ids are densified so partner lookups are direct indexing,
+    not searchsorted, and the broadcast halves), and the inverted
+    doc→shingle-slot view (doc_start/slot_of)."""
+    import numpy as np
+
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+    offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    values = np.concatenate(lists) if len(lists) else np.empty(0, np.int64)
+    uniq_docs, values_d = np.unique(values, return_inverse=True)
+    values_d = values_d.astype(np.int32)
+    n_doc = np.bincount(values_d, minlength=len(uniq_docs)).astype(np.int64)
+    order = np.argsort(values_d, kind="stable")
+    slot_of = np.repeat(
+        np.arange(len(offsets) - 1, dtype=np.int32), np.diff(offsets)
+    )[order]
+    doc_start = np.zeros(len(uniq_docs) + 1, dtype=np.int64)
+    np.cumsum(n_doc, out=doc_start[1:])
+    return offsets, values_d, uniq_docs, doc_start, n_doc, slot_of
+
+
+def ngram_jaccard_pairs_counting(spark, docs_table: str = "documents",
+                                 threshold_e4: int = 2000):
+    """Exact word-trigram Jaccard pairs via broadcast postings + vectorized
+    multiset counting — the in-budget fast path of
+    driver_queries.ngram_jaccard_pairs (returns ``None`` out of budget or
+    for non-integral doc ids, and the SQL prefix-join path runs instead).
+
+    Why this path exists (optimization guide §8: decide with small rows):
+    the SQL path generates candidate PAIRS from a prefix self-join, and at
+    threshold 0.2 the prefix keeps ~80% of every doc, so on a dense corpus
+    (every shingle shared by tens-to-hundreds of docs) the pair aggregation
+    materializes ~85M candidate rows at sf1.0 for ~2.5k true answers —
+    two full shuffles of pair rows that exist only to be discarded. Here
+    the per-pair intersection counts are computed WITHOUT any pair-keyed
+    shuffle: one JVM aggregation builds shingle→[doc] postings (shuffles
+    |distinct (doc,shingle)| rows once, map-side combined), the postings
+    (ids only, no strings — ~8 bytes/row) are broadcast, and each task
+    counts partner multiplicities for its slice of docs with
+    numpy sort/unique — total work Σ_s df(s)², the same asymptotics as the
+    SQL join, at vectorized-native speed with zero shuffled pair rows.
+    Exactness: identical (doc, shingle) distinct sets (collect_set dedups
+    globally), integer-arithmetic threshold test (cnt·1e4 ≥ t·(na+nb−cnt)
+    ⟺ the SQL float test — both sides < 2^53, nearest distinct rational
+    is ≫ 1 ulp away), and the final jaccard_e4 projection is the same
+    Spark ROUND expression the SQL path emits.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    fields = {f.name: f.dataType for f in spark.table(docs_table).schema.fields}
+    id_t = fields.get("doc_id")
+    if not isinstance(id_t, (T.LongType, T.IntegerType)):
+        return None
+    # budget probe: one pruned scan, no shuffle — total shingle count is an
+    # upper bound on distinct (doc, shingle) rows
+    est = spark.sql(
+        f"SELECT COALESCE(SUM(GREATEST(size(split(text, ' ')) - 2, 0)), 0) "
+        f"FROM {docs_table}"
+    ).first()[0]
+    if int(est) > _nj_counting_budget_rows():
+        return None
+
+    out_id_sql = "INT" if isinstance(id_t, T.IntegerType) else "BIGINT"
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    # REPARTITION before the per-row shingling: the bench corpus is one
+    # small parquet file → one scan task, and the split/transform/explode
+    # chain would run single-threaded without it (guide §2.5 input skew:
+    # repartition immediately after the read; AQE honors the explicit
+    # partition count). The shuffle moves only the raw (doc_id, text) rows.
+    post = spark.sql(
+        f"""
+        SELECT collect_set(doc_id) AS docs
+        FROM (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 explode(array_distinct(transform(sequence(1, size(t) - 2),
+                     i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                                    element_at(t, i + 2))))) AS shingle
+          FROM (SELECT doc_id, split(text, ' ') AS t FROM
+                (SELECT /*+ REPARTITION({n_parts}) */ doc_id, text
+                 FROM {docs_table}))
+          WHERE size(t) >= 3 AND doc_id IS NOT NULL)
+        GROUP BY shingle"""
+    )
+    pdf = post.toPandas()
+    empty = spark.createDataFrame(
+        [],
+        f"doc_a {out_id_sql.lower()}, doc_b {out_id_sql.lower()}, "
+        "jaccard_e4 bigint",
+    )
+    if len(pdf) == 0:
+        return empty
+    idx = _nj_build_index([np.asarray(x, dtype=np.int64) for x in pdf["docs"]])
+    sc = spark.sparkContext
+    bc = sc.broadcast(idx)
+    thr = int(threshold_e4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs, vals_d, uniq_docs, doc_start, n_doc, slot_of = bc.value
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        out_na: list = []
+        out_nb: list = []
+        for pdf_in in batches:
+            for tid in pdf_in["id"].to_numpy():
+                for j in range(int(tid), len(uniq_docs), n_parts):
+                    slots = slot_of[doc_start[j] : doc_start[j + 1]]
+                    if not len(slots):
+                        continue
+                    parts = np.concatenate(
+                        [vals_d[offs[s] : offs[s + 1]] for s in slots]
+                    )
+                    partners, cnts = np.unique(parts, return_counts=True)
+                    keep = partners > j
+                    if not keep.any():
+                        continue
+                    partners, cnts = partners[keep], cnts[keep]
+                    nb = n_doc[partners]
+                    na = int(n_doc[j])
+                    ok = cnts * 10000 >= thr * (na + nb - cnts)
+                    if not ok.any():
+                        continue
+                    m = int(ok.sum())
+                    out_a.append(np.full(m, uniq_docs[j], dtype=np.int64))
+                    out_b.append(uniq_docs[partners[ok]])
+                    out_c.append(cnts[ok].astype(np.int64))
+                    out_na.append(np.full(m, na, dtype=np.int64))
+                    out_nb.append(nb[ok].astype(np.int64))
+        yield pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+                "doc_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+                "cnt": np.concatenate(out_c) if out_c else np.empty(0, np.int64),
+                "na": np.concatenate(out_na) if out_na else np.empty(0, np.int64),
+                "nb": np.concatenate(out_nb) if out_nb else np.empty(0, np.int64),
+            }
+        )
+
+    carrier = spark.range(0, n_parts, 1, n_parts)
+    counted = carrier.mapInPandas(
+        gen, schema="doc_a bigint, doc_b bigint, cnt bigint, na bigint, nb bigint"
+    )
+    return counted.selectExpr(
+        f"CAST(doc_a AS {out_id_sql}) AS doc_a",
+        f"CAST(doc_b AS {out_id_sql}) AS doc_b",
+        "CAST(ROUND(cnt * 10000.0 / (na + nb - cnt)) AS BIGINT) AS jaccard_e4",
+    )
+
+
 def simhash_sql(dialect: str, table: str = "documents", bits: int = 60) -> str:
     """SimHash fingerprint per document over whitespace tokens.
 

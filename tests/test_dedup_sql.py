@@ -243,3 +243,76 @@ def test_bucketed_shingle_index_colocated_join(spark, tmp_path):
         assert stale_ok == via_idx  # the copy still answers for its epoch
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ngram_counting_path_equals_sql_path(spark, duck):
+    """Round-6 optimization: the broadcast-postings counting fast path of
+    ngram_jaccard_pairs (dedup.ngram_jaccard_pairs_counting) must produce
+    EXACTLY the SQL prefix-join path's rows — including on an adversarial
+    corpus with duplicate doc_id rows (global (doc, shingle) dedup), null
+    doc_id / null text rows, sub-3-token docs, and threshold-boundary
+    pairs — and must defer (return None) past the broadcast budget or for
+    non-integral doc ids."""
+    import os
+
+    import pandas as pd
+
+    from char_ner_spark.dedup import ngram_jaccard_pairs_counting
+    from char_ner_spark.driver_queries import ngram_jaccard_pairs
+
+    docs = [
+        (0, "x y z a b c d e"),
+        (1, "x y z a b c d f"),
+        (0, "x y z a b c d e"),          # duplicate doc row: must not double-count
+        (2, "x y z p q r s t"),
+        (3, "x y z p q r s u"),
+        (4, "k1 k2 k3 k4 k5 k6 k7 k8"),  # boundary partner below
+        (5, "k1 k2 k3 q9 q8 q7 q6 q5"),  # shares exactly 1 of 6 shingles w/ 4
+        (6, "one two"),                   # < 3 tokens: no shingles
+        (7, ""),                          # empty text
+        (None, "x y z a b c d e"),        # null doc_id: no pairs
+        (8, None),                        # null text
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["doc_id"] = pdf["doc_id"].astype("Int64")  # keep ids integral w/ null
+    spark.createDataFrame(pdf).createOrReplaceTempView("njc_docs")
+
+    key = lambda df: sorted(
+        (r.doc_a, r.doc_b, r.jaccard_e4) for r in df.toPandas().itertuples()
+    )
+    fast = ngram_jaccard_pairs_counting(spark, "njc_docs", 2000)
+    assert fast is not None
+    fast_rows = key(fast)
+    os.environ["CHAR_NER_NJ_BROADCAST_MAX"] = "0"  # force the SQL path
+    try:
+        sql_rows = key(ngram_jaccard_pairs(spark, "njc_docs"))
+        # budget gate: dispatch must defer to the SQL path out of budget
+        assert ngram_jaccard_pairs_counting(spark, "njc_docs", 2000) is None
+    finally:
+        del os.environ["CHAR_NER_NJ_BROADCAST_MAX"]
+    assert fast_rows == sql_rows and len(fast_rows) > 0
+    # cross-engine: same rows from the DuckDB oracle SQL over the same docs
+    from char_ner_spark.dedup import DUCK, shingles_cte
+
+    duck.register("njc_docs", pdf)
+    oracle = duck.sql(f"""
+        WITH sh AS ({shingles_cte('njc_docs', DUCK)}),
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(ROUND(cnt * 10000.0 / (sa.n + sb.n - cnt)) AS BIGINT) AS jaccard_e4
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE cnt * 10000.0 / (sa.n + sb.n - cnt) >= 2000""").fetchall()
+    assert fast_rows == sorted(map(tuple, oracle))
+    # non-integral doc ids: counting path must defer
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "text": ["x y z w", "x y z w"]})
+    ).createOrReplaceTempView("njc_str_docs")
+    assert ngram_jaccard_pairs_counting(spark, "njc_str_docs", 2000) is None
+    # ...and the dispatching entry point still answers via the SQL path
+    assert len(key(ngram_jaccard_pairs(spark, "njc_str_docs"))) == 1
