@@ -16,9 +16,17 @@ import os
 
 from pyspark.sql import SparkSession
 
-#: rows per Arrow batch handed to the tagger UDF == NN batch size.
-#: 512 rows × maxlen ~2k chars × 5 classes of fp32 stays well under 1 GiB.
-ARROW_BATCH_ROWS = 512
+#: rows per Arrow batch handed to the tagger UDF. Since round 5 the NN
+#: batch size is decoupled from the Arrow batch (tagger.BATCH_ROWS chunks
+#: each call internally, keeping the recurrent scratch L2-resident), so
+#: this only sets the Python-crossing granularity: bigger batches amortize
+#: Arrow/pandas conversion and give the tagger's in-batch sentence dedup
+#: and length-bucketing more rows to work with. Measured on the sf1.0
+#: bench corpus (1M pages, local[24]): tag stage 60.3s at 512 → 52.4s at
+#: 2048; 4096 regressed (noisy windows, larger per-batch latency).
+#: Memory stays bounded: 2048 pages ≈ 2 MB of html in, ~13k mention rows
+#: out per batch.
+ARROW_BATCH_ROWS = 2048
 
 
 def build_session(
