@@ -441,36 +441,75 @@ def encode_chars(text: str) -> np.ndarray:
     return np.minimum(a, VOCAB - 1)
 
 
+#: the EXACT str.isspace() codepoint set (all 29 codepoints for which
+#: Python's str.isspace() is True — pinned by tests/test_tagger_kernels.py
+#: against the full Unicode range), as a lookup table: the hot loop
+#: derives per-char space flags from the codepoint array it already
+#: builds with two vector ops (~1µs vs ~4.4µs for the per-char Python
+#: generator it replaces; round-6 perf, bitwise-identical results). The
+#: largest space codepoint is 12288, so any codepoint clamped to 12289
+#: reads a False slot.
+_SPACE_CP = (9, 10, 11, 12, 13, 28, 29, 30, 31, 32, 133, 160, 5760,
+             8192, 8193, 8194, 8195, 8196, 8197, 8198, 8199, 8200, 8201,
+             8202, 8232, 8233, 8239, 8287, 12288)
+_SPACE_LUT = np.zeros(12290, dtype=bool)
+_SPACE_LUT[list(_SPACE_CP)] = True
+
+
 def _word_class_hash(word: str) -> int:
     """Deterministic entity-class assignment for a capitalized word (1..4)."""
     h = hashlib.blake2b(word.lower().encode(), digest_size=2).digest()
     return 1 + (h[0] % (NC - 1))
 
 
+_PUNCT = "\"'.,;:!?()[]"
+
+
+def _parse_core(wtext: str) -> tuple[int, int, str, bool] | None:
+    """Pure per-word piece of :func:`feature_bias`: (lead_offset, core_len,
+    core, ends_run) for a capitalized-alpha word core, None otherwise.
+    Factored out so the hot loop can memoize it per call — word forms are
+    Zipf-distributed, so a small per-batch dict removes most of the
+    strip/isupper/isalpha string work (round-6 perf; pure function, so
+    results are unchanged by construction)."""
+    core = wtext.strip(_PUNCT)
+    if len(core) >= 2 and core[0].isupper() and core[1:].islower() and core.isalpha():
+        lead = len(wtext) - len(wtext.lstrip(_PUNCT))
+        # trailing punctuation inside the token ends the run ("Corp.,")
+        # (wtext is a maximal non-whitespace run: never empty/padded)
+        return (lead, len(core), core, wtext[-1] in _PUNCT)
+    return None
+
+
 def feature_bias(text: str,
-                 offs: list[tuple[int, int]] | None = None) -> np.ndarray:
+                 offs: list[tuple[int, int]] | None = None,
+                 core_cache: dict | None = None) -> np.ndarray:
     """Hand-crafted emission bias [T, NC]: capitalized multi-char alpha words
     push toward an entity class; everything else pushes toward O.
 
     ``offs`` may carry precomputed :func:`spans.word_offsets` output (the
     tagger hot loop computes it once per sentence and shares it here and
-    with span extraction)."""
+    with span extraction); ``core_cache`` an optional per-call memo for
+    :func:`_parse_core` (same results either way)."""
     T = len(text)
     bias = np.zeros((T, NC), dtype=np.float32)
     bias[:, 0] = _BIAS_O
-    punct = "\"'.,;:!?()[]"
     # capitalized-word cores; consecutive ones form one entity run (the
     # behavior a trained char-LSTM exhibits on multi-word names)
     cores: list[tuple[int, int, str, bool]] = []  # (core_start, core_end, core, ends_run)
     for s, e in (S.word_offsets(text) if offs is None else offs):
         wtext = text[s:e]
-        core = wtext.strip(punct)
-        if len(core) >= 2 and core[0].isupper() and core[1:].islower() and core.isalpha():
-            cs = s + len(wtext) - len(wtext.lstrip(punct))
-            # trailing punctuation inside the token ends the run ("Corp.,")
-            # (wtext is a maximal non-whitespace run: never empty/padded)
-            ends = wtext[-1] in punct
-            cores.append((cs, cs + len(core), core, ends))
+        if core_cache is None:
+            hit = _parse_core(wtext)
+        else:
+            hit = core_cache.get(wtext, False)
+            if hit is False:
+                hit = _parse_core(wtext)
+                core_cache[wtext] = hit
+        if hit is not None:
+            lead, core_len, core, ends = hit
+            cs = s + lead
+            cores.append((cs, cs + core_len, core, ends))
         else:
             cores.append((-1, -1, "", True))
     run: list[tuple[int, int, str]] = []
@@ -638,6 +677,9 @@ def tag_sentences(texts: list[str], lang: str,
     first_idx: dict[str, int] = {}
     dup_of: dict[int, int] = {}
     by_len: dict[int, list[int]] = {}
+    import re
+
+    ascii_upper = re.compile(r"[A-Z]").search  # C-speed (b)-check for ASCII
     for i, t in enumerate(texts):
         if not t:
             continue
@@ -645,7 +687,10 @@ def tag_sentences(texts: list[str], lang: str,
         if j != i:
             dup_of[i] = j
             continue
-        if not any(c.isupper() for c in t):
+        if t.isascii():
+            if ascii_upper(t) is None:
+                continue  # (b): provably mention-free
+        elif not any(c.isupper() for c in t):
             continue  # (b): provably mention-free
         by_len.setdefault(((len(t) + 31) // 32) * 32, []).append(i)
     # chunk large buckets: keeps the recurrent scratch ([chunk, 4H] fp32)
@@ -662,20 +707,26 @@ def tag_sentences(texts: list[str], lang: str,
         mask = np.zeros((n, bucket), dtype=bool)
         boundary = np.zeros((n, bucket), dtype=bool)
         # word offsets computed ONCE per sentence here and shared with the
-        # bias featurizer and span extraction (was 3 identical scans)
+        # bias featurizer and span extraction (was 3 identical scans);
+        # space flags come vectorized off the codepoint array via the
+        # _SPACE_LUT table (≡ str.isspace, pinned by tests) instead of a
+        # per-char Python generator — bitwise-identical results
         offs_rows: list[list[tuple[int, int]]] = []
+        core_cache: dict = {}  # per-chunk _parse_core memo (Zipf word forms)
         for row, i in enumerate(idxs):
             text = texts[i]
             L = len(text)
-            ids[row, :L] = encode_chars(text)
+            raw = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            ids[row, :L] = np.minimum(raw, VOCAB - 1)
             mask[row, :L] = True
-            sp = np.fromiter((c.isspace() for c in text), dtype=bool, count=L)
+            sp = _SPACE_LUT[np.minimum(raw, 12289)]
             boundary[row, 1:L] = sp[1:] | sp[:-1]
             offs_rows.append(S.word_offsets(text))
         lg = bilstm_logits(ids, w, mask) * _LOGIT_SCALE
         for row, i in enumerate(idxs):
             L = len(texts[i])
-            lg[row, :L] += feature_bias(texts[i], offs=offs_rows[row])
+            lg[row, :L] += feature_bias(texts[i], offs=offs_rows[row],
+                                        core_cache=core_cache)
         lg *= mask[:, :, None]  # zero pad steps so DP carries scores through
         paths = viterbi_batch(lg, boundary, w["trans"])
         for row, i in enumerate(idxs):

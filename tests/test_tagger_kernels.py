@@ -156,3 +156,29 @@ def test_gemm_env_override(monkeypatch):
     monkeypatch.setattr(TG, "_FAST_GEMM", None)  # leave re-probed state
     monkeypatch.delenv("CHAR_NER_GEMM")
     TG._gemm_fast()
+
+
+def test_space_lut_matches_str_isspace_exactly():
+    """The round-6 vectorized isspace table must agree with Python's
+    str.isspace() for EVERY Unicode codepoint (the clamp at 12289 relies on
+    no space codepoint existing above 12288), and the per-word core memo
+    helper must be a pure refactor of the former inline logic."""
+    import numpy as np
+
+    from char_ner_spark.tagger import _SPACE_CP, _SPACE_LUT, _parse_core
+
+    truth = [cp for cp in range(0x110000) if chr(cp).isspace()]
+    assert sorted(_SPACE_CP) == truth
+    assert max(truth) == 12288 and len(_SPACE_LUT) > 12289
+    cps = np.arange(0x110000, dtype=np.int64)
+    lut_ans = _SPACE_LUT[np.minimum(cps, 12289)]
+    py_ans = np.zeros(0x110000, dtype=bool)
+    py_ans[truth] = True
+    assert np.array_equal(lut_ans, py_ans)
+    # _parse_core: spot behaviors the bias featurizer depends on
+    assert _parse_core("Alice") == (0, 5, "Alice", False)
+    assert _parse_core('"Corp.,') == (1, 4, "Corp", True)
+    assert _parse_core("alice") is None
+    assert _parse_core("ALICE") is None
+    assert _parse_core("A") is None
+    assert _parse_core("Ab1") is None
