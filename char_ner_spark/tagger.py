@@ -657,12 +657,12 @@ def tag_sentences(texts: list[str], lang: str,
     reference's load-params-from-storage path, ref:src/exper.py:~300-340;
     see :func:`load_weights`).
 
-    Rows are bucketed to 32-char length multiples and padded to the bucket
-    width; the mask and the per-direction boundary handling keep padded
-    positions out of every recurrence, so per-row results stay
-    bitwise-identical across any batch composition (determinism
-    requirement, SURVEY §7 risk (a)). The mask machinery is load-bearing —
-    padding DOES exist inside a bucket."""
+    Rows are length-sorted and cut into consecutive BATCH_ROWS-row chunks,
+    each padded to its own longest row; the mask and the per-direction
+    boundary handling keep padded positions out of every recurrence, so
+    per-row results stay bitwise-identical across any batch composition
+    (determinism requirement, SURVEY §7 risk (a)). The mask machinery is
+    load-bearing — padding DOES exist inside a chunk."""
     w = weights if weights is not None else model_weights(lang)
     results: list[list[tuple[int, int, str, float]]] = [[] for _ in texts]
     # Two exactness-preserving short cuts (both inside this shared function,
@@ -692,15 +692,23 @@ def tag_sentences(texts: list[str], lang: str,
                 continue  # (b): provably mention-free
         elif not any(c.isupper() for c in t):
             continue  # (b): provably mention-free
-        by_len.setdefault(((len(t) + 31) // 32) * 32, []).append(i)
-    # chunk large buckets: keeps the recurrent scratch ([chunk, 4H] fp32)
-    # L2-resident per worker — DRAM-streaming batches stop scaling across
-    # many workers (measured: eff(2→8 procs) 0.93 at ~300-row batches vs
-    # 0.63 at ~6000-row batches)
+        by_len.setdefault(len(t), []).append(i)
+    # sorted consecutive chunks, padded to the chunk-local max length
+    # (round 6; was: pad to 32-char bucket multiples). Sorting by exact
+    # length and cutting every BATCH_ROWS rows keeps chunks FULL while
+    # shrinking time padding to the within-chunk length spread — ~25% of
+    # all char steps were bucket padding before, ~30% measured win on the
+    # bench corpus. Chunk size still bounded by BATCH_ROWS so the
+    # recurrent scratch ([chunk, 4H] fp32) stays L2-resident per worker
+    # (DRAM-streaming batches stop scaling across many workers —
+    # measured: eff(2→8 procs) 0.93 at ~300-row batches vs 0.63 at
+    # ~6000-row). Batch composition cannot perturb results (mask
+    # carry-through discipline, pinned by tests/test_tagger_kernels.py).
     chunks: list[tuple[int, list[int]]] = []
-    for bucket, idxs in sorted(by_len.items()):
-        for k in range(0, len(idxs), BATCH_ROWS):
-            chunks.append((bucket, idxs[k : k + BATCH_ROWS]))
+    order = [i for L in sorted(by_len) for i in by_len[L]]
+    for k in range(0, len(order), BATCH_ROWS):
+        idxs = order[k : k + BATCH_ROWS]
+        chunks.append((len(texts[idxs[-1]]), idxs))
     for bucket, idxs in chunks:
         n = len(idxs)
         ids = np.zeros((n, bucket), dtype=np.int64)

@@ -275,28 +275,28 @@ def test_ngram_counting_path_equals_sql_path(spark, duck):
     ]
     pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
     pdf["doc_id"] = pdf["doc_id"].astype("Int64")  # keep ids integral w/ null
-    spark.createDataFrame(pdf).createOrReplaceTempView("njc_docs")
+    spark.createDataFrame(pdf).createOrReplaceTempView("ncp_docs")
 
     key = lambda df: sorted(
         (r.doc_a, r.doc_b, r.jaccard_e4) for r in df.toPandas().itertuples()
     )
-    fast = ngram_jaccard_pairs_counting(spark, "njc_docs", 2000)
+    fast = ngram_jaccard_pairs_counting(spark, "ncp_docs", 2000)
     assert fast is not None
     fast_rows = key(fast)
     os.environ["CHAR_NER_NJ_BROADCAST_MAX"] = "0"  # force the SQL path
     try:
-        sql_rows = key(ngram_jaccard_pairs(spark, "njc_docs"))
+        sql_rows = key(ngram_jaccard_pairs(spark, "ncp_docs"))
         # budget gate: dispatch must defer to the SQL path out of budget
-        assert ngram_jaccard_pairs_counting(spark, "njc_docs", 2000) is None
+        assert ngram_jaccard_pairs_counting(spark, "ncp_docs", 2000) is None
     finally:
         del os.environ["CHAR_NER_NJ_BROADCAST_MAX"]
     assert fast_rows == sql_rows and len(fast_rows) > 0
     # cross-engine: same rows from the DuckDB oracle SQL over the same docs
     from char_ner_spark.dedup import DUCK, shingles_cte
 
-    duck.register("njc_docs", pdf)
+    duck.register("ncp_docs", pdf)
     oracle = duck.sql(f"""
-        WITH sh AS ({shingles_cte('njc_docs', DUCK)}),
+        WITH sh AS ({shingles_cte('ncp_docs', DUCK)}),
         d AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id IS NOT NULL),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
         common AS (
@@ -312,7 +312,7 @@ def test_ngram_counting_path_equals_sql_path(spark, duck):
     # non-integral doc ids: counting path must defer
     spark.createDataFrame(
         pd.DataFrame({"doc_id": ["a", "b"], "text": ["x y z w", "x y z w"]})
-    ).createOrReplaceTempView("njc_str_docs")
-    assert ngram_jaccard_pairs_counting(spark, "njc_str_docs", 2000) is None
+    ).createOrReplaceTempView("ncp_str_docs")
+    assert ngram_jaccard_pairs_counting(spark, "ncp_str_docs", 2000) is None
     # ...and the dispatching entry point still answers via the SQL path
-    assert len(key(ngram_jaccard_pairs(spark, "njc_str_docs"))) == 1
+    assert len(key(ngram_jaccard_pairs(spark, "ncp_str_docs"))) == 1
