@@ -192,17 +192,33 @@ def main() -> int:
         # legs across hosts. Legacy histories predate host tracking and
         # are archived the first time they are seen on a tracked host.
         stored_fp = hist.get("host")
-        if stored_fp != host_fp:
-            tag = (stored_fp or "untracked").replace(" ", "_")[:40]
-            arch = hist_path.replace(".json", f"_{tag}.json")
-            if not os.path.exists(arch):
-                os.rename(hist_path, arch)
-            print(f"host changed ({stored_fp!r} → {host_fp!r}): archived "
-                  f"{os.path.basename(arch)}, fresh accumulation")
-        elif (hist.get("corpus_pages") == n_pages
+        if (stored_fp == host_fp and hist.get("corpus_pages") == n_pages
                 and hist.get("scales") == list(SCALES)):
             for c, runs in hist.get("runs", {}).items():
                 all_runs[int(c)].extend(runs)
+        else:
+            # Incompatible accumulation (different host, corpus size, or
+            # scale pair): ARCHIVE it — never leave it to be silently
+            # overwritten at the end of this run (ADVICE r5: an archive
+            # name collision used to drop the old runs without a record;
+            # a corpus/scales mismatch used to drop them unconditionally).
+            why = ("host" if stored_fp != host_fp else
+                   "corpus" if hist.get("corpus_pages") != n_pages else
+                   "scales")
+            tag = "_".join(
+                str(x) for x in (
+                    (stored_fp or "untracked").replace(" ", "_")[:40],
+                    hist.get("corpus_pages"), *(hist.get("scales") or []),
+                )
+            )
+            arch = hist_path.replace(".json", f"_{tag}.json")
+            k = 1
+            while os.path.exists(arch):
+                arch = hist_path.replace(".json", f"_{tag}.{k}.json")
+                k += 1
+            os.rename(hist_path, arch)
+            print(f"{why} changed: archived {os.path.basename(arch)}, "
+                  f"fresh accumulation")
     for _ in range(repeats):
         for cores in SCALES:
             r = run_once(cores, pages_dir, zpath)
