@@ -753,7 +753,15 @@ def tag_sentences(texts: list[str], lang: str,
                 if mrow is None:
                     seg = lg[row, :L]
                     mrow = seg.max(axis=1) - seg[:, 0]
-                margin = float(np.mean(mrow[b:e]))
+                # exact replica of float(np.mean(mrow[b:e])) without the
+                # _mean wrapper (~5.8µs → ~1.8µs per span): same pairwise
+                # float32 umr_sum (np.add.reduce IS _mean's umr_sum), same
+                # float64 divide, same float32 cast — numpy 1.26 _mean
+                # scalar branch `ret.dtype.type(ret / rcount)` verbatim.
+                # Pinned bitwise-equal over 300k random slices + the A/B
+                # gates (round-6 perf).
+                margin = float(np.float32(
+                    float(np.add.reduce(mrow[b:e])) / (e - b)))
                 results[i].append((b, e, cls, round(margin, 4)))
     for i, j in dup_of.items():
         results[i] = list(results[j])
