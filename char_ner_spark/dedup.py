@@ -186,15 +186,17 @@ def verify_shingle_index(spark, table_name: str) -> None:
 
 
 #: broadcast budget (distinct (doc, shingle) rows) for the exact-counting
-#: fast path of ngram_jaccard_pairs. 20M rows ≈ 160 MB of int64 postings
-#: per python worker — comfortably inside the sandbox; on a production
+#: fast path of ngram_jaccard_pairs. 40M rows ≈ 320 MB of int32 postings +
+#: inverted index per python worker (~14 GB across 32 workers) —
+#: comfortably inside the 128 GiB sandbox and sized to keep a 10×-scale
+#: documents table (≈27M shingles) on the fast path; on a production
 #: cluster size it to executor pyspark memory. Above the budget the SQL
 #: prefix-join path runs instead (it never materializes the corpus on one
 #: node). Env-tunable so cluster profiles can raise/lower it without code.
 def _nj_counting_budget_rows() -> int:
     import os
 
-    return int(os.environ.get("CHAR_NER_NJ_BROADCAST_MAX", str(20_000_000)))
+    return int(os.environ.get("CHAR_NER_NJ_BROADCAST_MAX", str(40_000_000)))
 
 
 def _nj_build_index(lists):

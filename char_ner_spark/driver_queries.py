@@ -429,7 +429,7 @@ def ngram_jaccard_pairs(spark: SparkSession, docs_table: str = "documents",
     rows"): when no pre-built index is supplied and the corpus's total
     shingle count fits the broadcast budget
     (:func:`~char_ner_spark.dedup.ngram_jaccard_pairs_counting` — default
-    20M distinct (doc, shingle) rows, env CHAR_NER_NJ_BROADCAST_MAX), the
+    40M distinct (doc, shingle) rows, env CHAR_NER_NJ_BROADCAST_MAX), the
     exact intersection counts are computed by broadcast postings +
     vectorized multiset counting with ZERO pair-keyed shuffle — on the
     dense bench corpus the SQL prefix join materializes ~85M candidate
